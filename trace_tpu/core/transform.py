@@ -1,0 +1,283 @@
+"""4x4 transformations with cached inverses, plus quaternions.
+
+TPU-native counterpart of /root/reference/src/transformations.jl. A
+``Transform`` is a pytree of (m, inv_m) matrices; constructors build both the
+matrix and its analytic inverse so no runtime matrix inversion is needed on
+the hot path. Application to points/vectors/normals/bounds/rays broadcasts
+over leading dims (the matrices themselves may also be batched ``[..., 4, 4]``
+which is how packed per-shape transforms are stored on device).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree
+from . import math as m
+from .bounds import Bounds3, corner, union_point, from_point
+
+F32 = jnp.float32
+
+
+@pytree
+class Transform:
+    m: jnp.ndarray      # [..., 4, 4]
+    inv_m: jnp.ndarray  # [..., 4, 4]
+
+
+def identity() -> Transform:
+    i = jnp.eye(4, dtype=F32)
+    return Transform(i, i)
+
+
+def from_matrix(mat) -> Transform:
+    mat = jnp.asarray(mat, F32)
+    return Transform(mat, jnp.linalg.inv(mat))
+
+
+def inverse(t: Transform) -> Transform:
+    return Transform(t.inv_m, t.m)
+
+
+def compose(t1: Transform, t2: Transform) -> Transform:
+    """t1 * t2 (applies t2 first)."""
+    return Transform(t1.m @ t2.m, t2.inv_m @ t1.inv_m)
+
+
+def translate(delta) -> Transform:
+    d = np.asarray(delta, np.float32)
+    mat = np.eye(4, dtype=np.float32)
+    mat[:3, 3] = d
+    inv = np.eye(4, dtype=np.float32)
+    inv[:3, 3] = -d
+    return Transform(jnp.asarray(mat), jnp.asarray(inv))
+
+
+def scale(x, y, z) -> Transform:
+    mat = np.diag(np.array([x, y, z, 1.0], np.float32))
+    inv = np.diag(np.array([1.0 / x, 1.0 / y, 1.0 / z, 1.0], np.float32))
+    return Transform(jnp.asarray(mat), jnp.asarray(inv))
+
+
+def _rot(mat3: np.ndarray) -> Transform:
+    mat = np.eye(4, dtype=np.float32)
+    mat[:3, :3] = mat3
+    return Transform(jnp.asarray(mat), jnp.asarray(mat.T))
+
+
+def rotate_x(deg: float) -> Transform:
+    s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
+    return _rot(np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32))
+
+
+def rotate_y(deg: float) -> Transform:
+    s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
+    return _rot(np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32))
+
+
+def rotate_z(deg: float) -> Transform:
+    s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
+    return _rot(np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32))
+
+
+def rotate(deg: float, axis) -> Transform:
+    """Rotation about an arbitrary axis (reference transformations.jl:92-103)."""
+    a = np.asarray(axis, np.float32)
+    a = a / np.linalg.norm(a)
+    s, c = np.sin(np.deg2rad(deg)), np.cos(np.deg2rad(deg))
+    m3 = np.array(
+        [
+            [
+                a[0] * a[0] + (1 - a[0] * a[0]) * c,
+                a[0] * a[1] * (1 - c) - a[2] * s,
+                a[0] * a[2] * (1 - c) + a[1] * s,
+            ],
+            [
+                a[0] * a[1] * (1 - c) + a[2] * s,
+                a[1] * a[1] + (1 - a[1] * a[1]) * c,
+                a[1] * a[2] * (1 - c) - a[0] * s,
+            ],
+            [
+                a[0] * a[2] * (1 - c) - a[1] * s,
+                a[1] * a[2] * (1 - c) + a[0] * s,
+                a[2] * a[2] + (1 - a[2] * a[2]) * c,
+            ],
+        ],
+        np.float32,
+    )
+    return _rot(m3)
+
+
+def look_at(position, target, up) -> Transform:
+    """Camera-to-world transform (reference transformations.jl:105-117)."""
+    position = np.asarray(position, np.float32)
+    target = np.asarray(target, np.float32)
+    up = np.asarray(up, np.float32)
+    z_axis = position - target
+    z_axis = z_axis / np.linalg.norm(z_axis)
+    x_axis = np.cross(up, z_axis)
+    x_axis = x_axis / np.linalg.norm(x_axis)
+    y_axis = np.cross(z_axis, x_axis)
+    rot = np.eye(4, dtype=np.float32)
+    rot[:3, 0] = x_axis
+    rot[:3, 1] = y_axis
+    rot[:3, 2] = z_axis
+    return compose(translate(position), Transform(jnp.asarray(rot), jnp.asarray(rot.T)))
+
+
+def perspective(fov: float, near: float, far: float) -> Transform:
+    """Perspective projection (reference transformations.jl:119-130)."""
+    p = np.array(
+        [
+            [1, 0, 0, 0],
+            [0, 1, 0, 0],
+            [0, 0, far / (far - near), -far * near / (far - near)],
+            [0, 0, 1, 0],
+        ],
+        np.float32,
+    )
+    inv_tan = 1.0 / np.tan(np.deg2rad(fov) / 2.0)
+    return compose(scale(inv_tan, inv_tan, 1.0), from_matrix(p))
+
+
+# --- application -----------------------------------------------------------
+
+
+def apply_point(t: Transform, p):
+    """Apply to points [..., 3] with perspective divide."""
+    r = jnp.einsum("...ij,...j->...i", t.m[..., :3, :3], p) + t.m[..., :3, 3]
+    w = jnp.einsum("...j,...j->...", t.m[..., 3, :3], p) + t.m[..., 3, 3]
+    return jnp.where((w == 1.0)[..., None], r, r / w[..., None])
+
+
+def apply_vec(t: Transform, v):
+    return jnp.einsum("...ij,...j->...i", t.m[..., :3, :3], v)
+
+
+def apply_normal(t: Transform, n):
+    """Normals transform by the inverse transpose (transformations.jl:140)."""
+    return jnp.einsum("...ji,...j->...i", t.inv_m[..., :3, :3], n)
+
+
+def apply_bounds(t: Transform, b: Bounds3) -> Bounds3:
+    out = from_point(apply_point(t, corner(b, 0)))
+    for c in range(1, 8):
+        out = union_point(out, apply_point(t, corner(b, c)))
+    return out
+
+
+def swaps_handedness(t: Transform):
+    return jnp.linalg.det(t.m[..., :3, :3]) < 0
+
+
+def has_scale(t: Transform):
+    a = m.length(apply_vec(t, jnp.array([1.0, 0, 0], F32)))
+    b = m.length(apply_vec(t, jnp.array([0.0, 1, 0], F32)))
+    c = m.length(apply_vec(t, jnp.array([0.0, 0, 1], F32)))
+    eps = 1e-4
+    return (jnp.abs(a - 1) > eps) | (jnp.abs(b - 1) > eps) | (jnp.abs(c - 1) > eps)
+
+
+# --- quaternions (reference transformations.jl:167-244) --------------------
+
+
+@pytree
+class Quaternion:
+    v: jnp.ndarray  # [..., 3]
+    w: jnp.ndarray  # [...]
+
+
+def quat_identity() -> Quaternion:
+    return Quaternion(jnp.zeros(3, F32), jnp.asarray(1.0, F32))
+
+
+def quat_from_transform(t: Transform) -> Quaternion:
+    """Matrix -> quaternion (trace > 0 branch + largest-diagonal fallback)."""
+    mat = t.m
+    tr = mat[..., 0, 0] + mat[..., 1, 1] + mat[..., 2, 2]
+
+    # Branch A: trace > 0.
+    s_a = jnp.sqrt(jnp.maximum(tr + 1.0, 1e-12))
+    w_a = s_a / 2.0
+    k_a = 0.5 / s_a
+    v_a = m.vec(
+        (mat[..., 2, 1] - mat[..., 1, 2]) * k_a,
+        (mat[..., 0, 2] - mat[..., 2, 0]) * k_a,
+        (mat[..., 1, 0] - mat[..., 0, 1]) * k_a,
+    )
+
+    # Branch B: largest diagonal element i, with j, k the cyclic successors.
+    def branch_b(i):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = jnp.sqrt(
+            jnp.maximum(mat[..., i, i] - (mat[..., j, j] + mat[..., k, k]) + 1.0, 1e-12)
+        )
+        q = [None, None, None]
+        q[i] = s * 0.5
+        ks = jnp.where(s != 0.0, 0.5 / s, 0.0)
+        q[j] = (mat[..., j, i] + mat[..., i, j]) * ks
+        q[k] = (mat[..., k, i] + mat[..., i, k]) * ks
+        w = (mat[..., k, j] - mat[..., j, k]) * ks
+        return m.vec(q[0], q[1], q[2]), w
+
+    i0 = jnp.where(
+        mat[..., 1, 1] > mat[..., 0, 0],
+        jnp.where(mat[..., 2, 2] > mat[..., 1, 1], 2, 1),
+        jnp.where(mat[..., 2, 2] > mat[..., 0, 0], 2, 0),
+    )
+    vb0, wb0 = branch_b(0)
+    vb1, wb1 = branch_b(1)
+    vb2, wb2 = branch_b(2)
+    v_b = jnp.where((i0 == 0)[..., None], vb0, jnp.where((i0 == 1)[..., None], vb1, vb2))
+    w_b = jnp.where(i0 == 0, wb0, jnp.where(i0 == 1, wb1, wb2))
+
+    pos = tr > 0.0
+    return Quaternion(jnp.where(pos[..., None], v_a, v_b), jnp.where(pos, w_a, w_b))
+
+
+def quat_to_transform(q: Quaternion) -> Transform:
+    x, y, z = q.v[..., 0], q.v[..., 1], q.v[..., 2]
+    w = q.w
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    row0 = jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy), jnp.zeros_like(w)], -1)
+    row1 = jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx), jnp.zeros_like(w)], -1)
+    row2 = jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy), jnp.zeros_like(w)], -1)
+    row3 = jnp.stack([jnp.zeros_like(w)] * 3 + [jnp.ones_like(w)], -1)
+    mat = jnp.stack([row0, row1, row2, row3], axis=-2)
+    return Transform(mat, jnp.swapaxes(mat, -1, -2))
+
+
+def quat_dot(q1: Quaternion, q2: Quaternion):
+    return m.dot(q1.v, q2.v) + q1.w * q2.w
+
+
+def quat_normalize(q: Quaternion) -> Quaternion:
+    n = jnp.sqrt(quat_dot(q, q))
+    return Quaternion(q.v / n[..., None], q.w / n)
+
+
+def slerp(q1: Quaternion, q2: Quaternion, t):
+    """Spherical lerp (reference transformations.jl:236-244)."""
+    cos_t = quat_dot(q1, q2)
+
+    # Nearly-parallel: plain lerp.
+    lin = quat_normalize(
+        Quaternion(m.lerp(q1.v, q2.v, t[..., None] if jnp.ndim(t) else t), m.lerp(q1.w, q2.w, t))
+    )
+
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+    theta_p = theta * t
+    perp = Quaternion(q2.v - q1.v * cos_t[..., None], q2.w - q1.w * cos_t)
+    nperp = jnp.sqrt(jnp.maximum(quat_dot(perp, perp), 1e-12))
+    perp = Quaternion(perp.v / nperp[..., None], perp.w / nperp)
+    sph = Quaternion(
+        q1.v * jnp.cos(theta_p)[..., None] + perp.v * jnp.sin(theta_p)[..., None],
+        q1.w * jnp.cos(theta_p) + perp.w * jnp.sin(theta_p),
+    )
+    near = cos_t > 0.9995
+    return Quaternion(
+        jnp.where(near[..., None] if jnp.ndim(near) else near, lin.v, sph.v),
+        jnp.where(near, lin.w, sph.w),
+    )

@@ -126,13 +126,28 @@ def look_at(position, target, up) -> Transform:
 
 
 def perspective(fov: float, near: float, far: float) -> Transform:
-    """Perspective projection (reference transformations.jl:119-130)."""
+    """Perspective projection (reference transformations.jl:119-130).
+
+    NOTE: the reference builds its projective-divide matrix without the
+    `transpose(...)` wrapper used by every other constructor, and Julia's
+    Mat4f constructor is column-major — so the effective (row-major) matrix
+    is the transpose of what the source visually reads as:
+        [[1,0,0,0], [0,1,0,0], [0,0,A,1], [0,0,B,0]],
+    A = far/(far-near), B = -far*near/(far-near).
+    Consequences (verified numerically): a screen point (xs, ys, 0) maps to
+    camera space (near*tan(fov/2)*xs, near*tan(fov/2)*ys, -(far-near)/far),
+    i.e. camera rays travel toward -z and the effective field of view is
+    2*atan(near*tan(fov/2)) — a telephoto view. We replicate this exactly
+    for pixel parity with the reference's renders.
+    """
+    a = far / (far - near)
+    b = -far * near / (far - near)
     p = np.array(
         [
             [1, 0, 0, 0],
             [0, 1, 0, 0],
-            [0, 0, far / (far - near), -far * near / (far - near)],
-            [0, 0, 1, 0],
+            [0, 0, a, 1],
+            [0, 0, b, 0],
         ],
         np.float32,
     )

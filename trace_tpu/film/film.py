@@ -1,0 +1,212 @@
+"""Film: deterministic segment-sum sample splatting.
+
+TPU-native counterpart of /root/reference/src/film.jl. The reference
+accumulates per-thread FilmTiles and merges them serially; here the film is a
+functional ``FilmState`` pytree and ``add_samples`` scatters every sample's
+whole filter footprint with one deterministic scatter-add — the TPU
+replacement for tile merging (SURVEY.md §2 parallelism table).
+
+Conventions kept pixel-compatible with the reference:
+- continuous film coordinates are 1-based (crop bounds start at 1,
+  film.jl:41-44), discrete pixel centers at p - 0.5;
+- a 16x16 precomputed filter table indexed with ceil() offsets in x and
+  floor() offsets in y (film.jl:147-154 — the reference's asymmetry,
+  replicated for MSE parity);
+- footprint pixel range [ceil(d - r), floor(d + r) + 1] inclusive
+  (film.jl:140-143 — one pixel wider than PBRT, replicated);
+- the saved image is flipped vertically (film.jl:221).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree
+from ..core import spectrum as spec
+from .filters import Filter, LanczosSincFilter
+
+F32 = jnp.float32
+FILTER_TABLE_WIDTH = 16
+
+
+@pytree
+class FilmState:
+    xyz: jnp.ndarray          # [H, W, 3]
+    weight_sum: jnp.ndarray   # [H, W]
+    splat_xyz: jnp.ndarray    # [H, W, 3]
+
+
+class Film:
+    """Static film configuration (resolution, crop, filter table).
+
+    crop window is in [0, 1]^2 like the reference Film ctor (film.jl:34-61).
+    """
+
+    def __init__(
+        self,
+        resolution,
+        crop=((0.0, 0.0), (1.0, 1.0)),
+        filter: Filter | None = None,
+        diagonal: float = 35.0,
+        scale: float = 1.0,
+        filename: str = "out.png",
+    ):
+        self.resolution = (int(resolution[0]), int(resolution[1]))
+        self.filter = filter or LanczosSincFilter((1.0, 1.0), 3.0)
+        self.diagonal = float(diagonal) * 0.001
+        self.scale = float(scale)
+        self.filename = filename
+
+        rx, ry = self.resolution
+        # 1-based inclusive pixel bounds of the crop window (film.jl:41-44).
+        self.crop_min = (
+            int(math.ceil(rx * crop[0][0])) + 1,
+            int(math.ceil(ry * crop[0][1])) + 1,
+        )
+        self.crop_max = (
+            int(math.ceil(rx * crop[1][0])),
+            int(math.ceil(ry * crop[1][1])),
+        )
+        self.width = self.crop_max[0] - self.crop_min[0] + 1
+        self.height = self.crop_max[1] - self.crop_min[1] + 1
+
+        # Precompute the filter table (film.jl:52-56).
+        fr = self.filter.radius
+        step = (fr[0] / FILTER_TABLE_WIDTH, fr[1] / FILTER_TABLE_WIDTH)
+        ys, xs = np.meshgrid(
+            (np.arange(FILTER_TABLE_WIDTH) + 0.5) * step[1],
+            (np.arange(FILTER_TABLE_WIDTH) + 0.5) * step[0],
+            indexing="ij",
+        )
+        pts = jnp.asarray(np.stack([xs, ys], axis=-1), F32)
+        self.filter_table = jnp.asarray(self.filter(pts), F32)  # [y, x]
+        # Static per-axis footprint width: the reference loops
+        # ceil(d-r)..floor(d+r)+1 inclusive, at most floor(2r)+2 pixels.
+        self.fp_x = int(math.floor(2 * fr[0])) + 2
+        self.fp_y = int(math.floor(2 * fr[1])) + 2
+
+    # -- sample bounds ------------------------------------------------------
+
+    def sample_bounds(self):
+        """Pixel range samplers must cover, padded by the filter radius
+        (film.jl:68-73). Returns ((x0, y0), (x1, y1)) inclusive, 1-based."""
+        fr = self.filter.radius
+        lo = (
+            int(math.floor(self.crop_min[0] + 0.5 - fr[0])),
+            int(math.floor(self.crop_min[1] + 0.5 - fr[1])),
+        )
+        hi = (
+            int(math.ceil(self.crop_max[0] - 0.5 + fr[0])),
+            int(math.ceil(self.crop_max[1] - 0.5 + fr[1])),
+        )
+        return lo, hi
+
+    def physical_extent(self):
+        """(film.jl:79-84)."""
+        aspect = self.resolution[1] / self.resolution[0]
+        x = math.sqrt(self.diagonal**2 / (1 + aspect**2))
+        y = aspect * x
+        return ((-x / 2, -y / 2), (x / 2, y / 2))
+
+    # -- state --------------------------------------------------------------
+
+    def initial_state(self) -> FilmState:
+        h, w = self.height, self.width
+        return FilmState(
+            jnp.zeros((h, w, 3), F32), jnp.zeros((h, w), F32), jnp.zeros((h, w, 3), F32)
+        )
+
+    def add_samples(self, state: FilmState, p_film, L_rgb, sample_weight) -> FilmState:
+        """Scatter N samples over their filter footprints (film.jl:134-164).
+
+        p_film: [N, 2] 1-based continuous film coords; L_rgb: [N, 3];
+        sample_weight: [N]. Invalid samples can be disabled by passing
+        sample_weight 0 and L 0 (both contributions are weighted).
+        """
+        d = p_film - 0.5
+        r = jnp.asarray(self.filter.radius, F32)
+        inv_r = 1.0 / r
+        p0 = jnp.ceil(d - r)
+        p1 = jnp.floor(d + r) + 1.0
+        p0 = jnp.maximum(p0, jnp.asarray(
+            [max(self.crop_min[0], 1), max(self.crop_min[1], 1)], F32))
+        p1 = jnp.minimum(p1, jnp.asarray([self.crop_max[0], self.crop_max[1]], F32))
+
+        xyz = spec.rgb_to_xyz(L_rgb) * sample_weight[..., None]
+
+        # Static footprint offsets.
+        ox = jnp.arange(self.fp_x, dtype=F32)
+        oy = jnp.arange(self.fp_y, dtype=F32)
+        px = p0[:, 0:1] + ox[None, :]                      # [N, fx]
+        py = p0[:, 1:2] + oy[None, :]                      # [N, fy]
+        in_x = px <= p1[:, 0:1]
+        in_y = py <= p1[:, 1:2]
+
+        fx = jnp.abs((px - d[:, 0:1]) * inv_r[0]) * FILTER_TABLE_WIDTH
+        fy = jnp.abs((py - d[:, 1:2]) * inv_r[1]) * FILTER_TABLE_WIDTH
+        off_x = jnp.clip(jnp.ceil(fx), 1, FILTER_TABLE_WIDTH).astype(jnp.int32) - 1
+        off_y = jnp.clip(jnp.floor(fy), 1, FILTER_TABLE_WIDTH).astype(jnp.int32) - 1
+
+        w = self.filter_table[off_y[:, :, None], off_x[:, None, :]]  # [N, fy, fx]
+        mask = (in_y[:, :, None] & in_x[:, None, :]).astype(F32)
+        w = w * mask
+
+        ix = (px - self.crop_min[0]).astype(jnp.int32)               # [N, fx]
+        iy = (py - self.crop_min[1]).astype(jnp.int32)               # [N, fy]
+        flat = (
+            jnp.clip(iy, 0, self.height - 1)[:, :, None] * self.width
+            + jnp.clip(ix, 0, self.width - 1)[:, None, :]
+        ).reshape(-1)
+        wf = w.reshape(-1)
+        contrib = wf[:, None] * jnp.repeat(
+            xyz[:, None, :], self.fp_x * self.fp_y, axis=1
+        ).reshape(-1, 3)
+
+        new_xyz = state.xyz.reshape(-1, 3).at[flat].add(contrib).reshape(state.xyz.shape)
+        new_ws = (
+            state.weight_sum.reshape(-1).at[flat].add(wf).reshape(state.weight_sum.shape)
+        )
+        return FilmState(new_xyz, new_ws, state.splat_xyz)
+
+    def add_splats(self, state: FilmState, p_film, L_rgb) -> FilmState:
+        """Unfiltered splat additions at integer pixels."""
+        ix = jnp.clip(
+            jnp.floor(p_film[:, 0]).astype(jnp.int32) - self.crop_min[0], 0, self.width - 1
+        )
+        iy = jnp.clip(
+            jnp.floor(p_film[:, 1]).astype(jnp.int32) - self.crop_min[1], 0, self.height - 1
+        )
+        flat = iy * self.width + ix
+        xyz = spec.rgb_to_xyz(L_rgb)
+        new_splat = (
+            state.splat_xyz.reshape(-1, 3).at[flat].add(xyz).reshape(state.splat_xyz.shape)
+        )
+        return FilmState(state.xyz, state.weight_sum, new_splat)
+
+    def set_image(self, rgb_image) -> FilmState:
+        """Overwrite the film with a full image (SPPM path, film.jl:195-202)."""
+        return FilmState(
+            spec.rgb_to_xyz(rgb_image),
+            jnp.ones((self.height, self.width), F32),
+            jnp.zeros((self.height, self.width, 3), F32),
+        )
+
+    def to_image(self, state: FilmState, splat_scale: float = 1.0):
+        """Weight-normalize, add splats, scale, clamp — the save() pipeline
+        (film.jl:204-222) minus the disk write. Returns [H, W, 3] RGB,
+        *not* vertically flipped (save_png flips)."""
+        rgb = spec.xyz_to_rgb(state.xyz)
+        inv_w = jnp.where(state.weight_sum != 0.0, 1.0 / state.weight_sum, 1.0)
+        rgb = jnp.maximum(0.0, rgb * inv_w[..., None])
+        rgb = rgb + splat_scale * spec.xyz_to_rgb(state.splat_xyz)
+        rgb = rgb * self.scale
+        return jnp.clip(rgb, 0.0, 1.0)
+
+    def save_png(self, state: FilmState, path: str | None = None, splat_scale: float = 1.0):
+        from ..io.png import write_png
+
+        img = np.asarray(self.to_image(state, splat_scale))
+        write_png(path or self.filename, img[::-1])  # vertical flip (film.jl:221)
+        return img

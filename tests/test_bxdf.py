@@ -1,0 +1,225 @@
+"""BxDF layer tests.
+
+Mirrors the reference's material/BxDF suite (test/test_materials.jl) plus
+Monte-Carlo consistency checks of the vectorized lobe-table dispatch.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trace_tpu.bxdf import fresnel as fr
+from trace_tpu.bxdf import ggx
+from trace_tpu.bxdf import lobes as lb
+from trace_tpu.bxdf import bsdf as B
+from trace_tpu.core import math as m
+
+
+def _params(kind, n=1, **kw):
+    p = lb.empty_params((n,))._asdict()
+    p["kind"] = jnp.full((n,), kind, jnp.int32)
+    for k, v in kw.items():
+        v = jnp.asarray(v, p[k].dtype)
+        p[k] = jnp.broadcast_to(v, p[k].shape)
+    return lb.LobeParams(**p)
+
+
+def test_fresnel_dielectric_vacuum_is_zero():
+    # test_materials.jl:1-5
+    for cos_i in (0.5, -0.3, 1.0):
+        f = fr.fresnel_dielectric(jnp.asarray(cos_i), jnp.asarray(1.0), jnp.asarray(1.0))
+        assert abs(float(f)) < 1e-6
+
+
+def test_fresnel_dielectric_tir():
+    # Glass -> vacuum beyond the critical angle reflects everything.
+    f = fr.fresnel_dielectric(jnp.asarray(-0.2), jnp.asarray(1.0), jnp.asarray(1.5))
+    assert float(f) == pytest.approx(1.0)
+
+
+def test_fresnel_conductor_positive():
+    # test_materials.jl:7-12
+    ones = jnp.ones((1, 3))
+    f = fr.fresnel_conductor(jnp.asarray([0.7]), ones, ones * 1.2, ones * 2.0)
+    assert np.all(np.asarray(f) > 0.0)
+    assert np.all(np.asarray(f) <= 1.0)
+
+
+def test_lambertian_reflection_f_and_pdf():
+    r = (0.6, 0.4, 0.2)
+    p = _params(lb.LAMBERTIAN_REFLECTION, c0=r)
+    wo = jnp.asarray([[0.3, 0.1, 0.9]])
+    wi = jnp.asarray([[-0.2, 0.4, 0.8]])
+    f = lb.f(p, wo, wi)
+    np.testing.assert_allclose(np.asarray(f)[0], np.asarray(r) / np.pi, rtol=1e-6)
+    pdf = lb.pdf(p, wo, wi)
+    assert float(pdf[0]) == pytest.approx(0.8 / np.pi, rel=1e-5)
+    # Opposite hemisphere: zero.
+    assert float(lb.pdf(p, wo, -wi)[0]) == 0.0
+    assert np.all(np.asarray(lb.f(p, wo, -wi)) == 0.0)
+
+
+def test_lambertian_white_furnace():
+    # E[f * cos / pdf] over cosine-sampled directions == albedo.
+    n = 4096
+    p = _params(lb.LAMBERTIAN_REFLECTION, n=n, c0=(0.7, 0.7, 0.7))
+    wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    u = jax.random.uniform(jax.random.key(0), (n, 2))
+    s = lb.sample(p, wo, u)
+    est = s.f * (jnp.abs(m.cos_theta(s.wi)) / jnp.maximum(s.pdf, 1e-12))[:, None]
+    assert float(jnp.mean(est[:, 0])) == pytest.approx(0.7, rel=2e-2)
+
+
+def test_specular_reflection_sample():
+    # test_materials.jl: specular sample direction is the mirror direction.
+    p = _params(lb.SPECULAR_REFLECTION, c0=(1.0, 1.0, 1.0),
+                fr_kind=fr.FRESNEL_NOOP)
+    wo = m.normalize(jnp.asarray([[0.5, 0.2, 0.8]]))
+    s = lb.sample(p, wo, jnp.asarray([[0.3, 0.7]]))
+    np.testing.assert_allclose(
+        np.asarray(s.wi)[0], np.asarray([-0.5, -0.2, 0.8]) / np.linalg.norm([0.5, 0.2, 0.8]),
+        atol=1e-6,
+    )
+    assert float(s.pdf[0]) == 1.0
+    # f = F * r / |cos|; noop fresnel -> F = 1.
+    assert float(s.f[0, 0]) == pytest.approx(1.0 / abs(float(s.wi[0, 2])), rel=1e-5)
+    # Delta lobes evaluate to black for arbitrary pairs.
+    assert np.all(np.asarray(lb.f(p, wo, s.wi)) == 0.0)
+
+
+def test_specular_transmission_refracts():
+    p = _params(lb.SPECULAR_TRANSMISSION, c0=(1.0, 1.0, 1.0), eta_a=1.0, eta_b=1.5)
+    wo = m.normalize(jnp.asarray([[0.3, 0.0, 0.95]]))
+    s = lb.sample(p, wo, jnp.asarray([[0.5, 0.5]]))
+    wi = np.asarray(s.wi)[0]
+    assert wi[2] < 0  # into the surface
+    # Snell: eta_i sin_i = eta_t sin_t.
+    sin_i = np.sqrt(1 - float(m.cos_theta(wo)[0]) ** 2)
+    sin_t = np.sqrt(wi[0] ** 2 + wi[1] ** 2) / np.linalg.norm(wi)
+    assert sin_i == pytest.approx(1.5 * sin_t, rel=1e-4)
+
+
+def test_fresnel_specular_branches():
+    p = _params(lb.FRESNEL_SPECULAR, c0=(1.0, 1.0, 1.0), c1=(1.0, 1.0, 1.0),
+                eta_a=1.0, eta_b=1.5, fr_kind=fr.FRESNEL_DIELECTRIC)
+    wo = m.normalize(jnp.asarray([[0.1, 0.1, 0.99]]))
+    f_coin = float(fr.fresnel_dielectric(m.cos_theta(wo), jnp.asarray(1.0), jnp.asarray(1.5))[0])
+    s_r = lb.sample(p, wo, jnp.asarray([[f_coin * 0.5, 0.5]]))
+    assert float(s_r.wi[0, 2]) > 0 and float(s_r.pdf[0]) == pytest.approx(f_coin, rel=1e-5)
+    s_t = lb.sample(p, wo, jnp.asarray([[f_coin + 0.5 * (1 - f_coin), 0.5]]))
+    assert float(s_t.wi[0, 2]) < 0
+    assert float(s_t.pdf[0]) == pytest.approx(1 - f_coin, rel=1e-5)
+
+
+def test_oren_nayar_reduces_to_lambert_at_sigma_zero():
+    # sigma = 0 -> A = 1, B = 0 -> r/pi.
+    p = _params(lb.OREN_NAYAR, c0=(0.5, 0.5, 0.5), a=1.0, b=0.0)
+    wo = m.normalize(jnp.asarray([[0.3, -0.1, 0.9]]))
+    wi = m.normalize(jnp.asarray([[-0.4, 0.2, 0.6]]))
+    np.testing.assert_allclose(np.asarray(lb.f(p, wo, wi))[0], 0.5 / np.pi, rtol=1e-5)
+
+
+def test_ggx_sample_pdf_consistency():
+    # Sampled visible normals must have pdf_wh > 0 and D > 0.
+    n = 512
+    key = jax.random.key(1)
+    wo = m.normalize(
+        jax.random.normal(key, (n, 3)) * jnp.asarray([1.0, 1.0, 0.25])
+        + jnp.asarray([0.0, 0.0, 1.0])
+    )
+    alpha = jnp.full((n,), 0.3)
+    u = jax.random.uniform(jax.random.key(2), (n, 2), minval=1e-3, maxval=1 - 1e-3)
+    wh = ggx.sample_wh(wo, u, alpha, alpha)
+    assert np.all(np.isfinite(np.asarray(wh)))
+    np.testing.assert_allclose(np.asarray(m.length(wh)), 1.0, atol=1e-4)
+    pdf = ggx.pdf_wh(wo, wh, alpha, alpha)
+    assert np.all(np.asarray(pdf) > 0)
+
+
+def test_microfacet_reflection_furnace_bounded():
+    # Energy estimate of a smooth-ish GGX lobe with NoOp fresnel stays <= ~1.
+    n = 8192
+    p = _params(lb.MICROFACET_REFLECTION, n=n, c0=(1.0, 1.0, 1.0),
+                a=0.2, b=0.2, fr_kind=fr.FRESNEL_NOOP)
+    wo = jnp.broadcast_to(m.normalize(jnp.asarray([0.4, 0.0, 0.9])), (n, 3))
+    u = jax.random.uniform(jax.random.key(3), (n, 2))
+    s = lb.sample(p, wo, u)
+    w = jnp.where(
+        s.pdf > 0,
+        s.f[:, 0] * jnp.abs(m.cos_theta(s.wi)) / jnp.maximum(s.pdf, 1e-12),
+        0.0,
+    )
+    mean = float(jnp.mean(w))
+    assert 0.5 < mean <= 1.05
+
+
+def test_microfacet_transmission_direction():
+    p = _params(lb.MICROFACET_TRANSMISSION, c0=(1.0, 1.0, 1.0),
+                eta_a=1.0, eta_b=1.5, a=0.1, b=0.1,
+                fr_kind=fr.FRESNEL_DIELECTRIC)
+    wo = m.normalize(jnp.asarray([[0.1, 0.0, 0.99]]))
+    s = lb.sample(p, wo, jnp.asarray([[0.4, 0.6]]))
+    if float(s.pdf[0]) > 0:
+        assert float(s.wi[0, 2]) < 0
+        f_here = lb.f(p, wo, s.wi)
+        assert np.all(np.isfinite(np.asarray(f_here)))
+
+
+# ---------------------------------------------------------------------------
+# BSDF aggregate
+# ---------------------------------------------------------------------------
+
+
+def _simple_lobes(n=1, kinds=(lb.LAMBERTIAN_REFLECTION,), **kw):
+    ng = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    ss = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    lobes = B.empty_lobes(n, ng=ng, ns=ng, ss=ss)
+    mask = jnp.ones((n,), bool)
+    for i, k in enumerate(kinds):
+        fields = {key: v[i] for key, v in kw.items()}
+        lobes = B.set_lobe(lobes, i, mask, kind=jnp.int32(k), **fields)
+    return lobes
+
+
+def test_bsdf_f_sums_matching_lobes():
+    lobes = _simple_lobes(
+        n=1,
+        kinds=(lb.LAMBERTIAN_REFLECTION, lb.LAMBERTIAN_REFLECTION),
+        c0=[jnp.asarray([0.3, 0.3, 0.3]), jnp.asarray([0.2, 0.2, 0.2])],
+    )
+    wo = m.normalize(jnp.asarray([[0.0, 0.3, 0.9]]))
+    wi = m.normalize(jnp.asarray([[0.5, 0.0, 0.8]]))
+    f = B.f(lobes, wo, wi)
+    np.testing.assert_allclose(np.asarray(f)[0], 0.5 / np.pi, rtol=1e-5)
+    assert int(B.num_components(lobes)[0]) == 2
+
+
+def test_bsdf_sample_f_diffuse_pdf_matches_compute_pdf():
+    lobes = _simple_lobes(n=1, kinds=(lb.LAMBERTIAN_REFLECTION,),
+                          c0=[jnp.asarray([0.8, 0.8, 0.8])])
+    wo = m.normalize(jnp.asarray([[0.1, -0.2, 0.97]]))
+    s = B.sample_f(lobes, wo, jnp.asarray([[0.31, 0.77, 0.45]]))
+    assert float(s.pdf[0]) > 0
+    pdf2 = B.compute_pdf(lobes, wo, s.wi)
+    assert float(s.pdf[0]) == pytest.approx(float(pdf2[0]), rel=1e-5)
+    # Reciprocity-ish: f equals r/pi.
+    np.testing.assert_allclose(np.asarray(s.f)[0], 0.8 / np.pi, rtol=1e-5)
+
+
+def test_bsdf_sample_f_respects_type_flags():
+    # Glass-like: FresnelSpecular only; asking for diffuse yields nothing.
+    lobes = _simple_lobes(
+        n=1, kinds=(lb.FRESNEL_SPECULAR,),
+        c0=[jnp.asarray([1.0, 1.0, 1.0])],
+        c1=[jnp.asarray([1.0, 1.0, 1.0])],
+        eta_b=[jnp.asarray(1.5)],
+        fr_kind=[jnp.int32(fr.FRESNEL_DIELECTRIC)],
+    )
+    wo = m.normalize(jnp.asarray([[0.0, 0.1, 0.99]]))
+    s = B.sample_f(lobes, wo, jnp.asarray([[0.5, 0.5, 0.5]]),
+                   flags=lb.BSDF_DIFFUSE | lb.BSDF_REFLECTION)
+    assert float(s.pdf[0]) == 0.0
+    s2 = B.sample_f(lobes, wo, jnp.asarray([[0.01, 0.5, 0.5]]),
+                    flags=lb.BSDF_ALL)
+    assert float(s2.pdf[0]) > 0.0
+    assert int(s2.sampled_flags[0]) & lb.BSDF_SPECULAR

@@ -1,0 +1,101 @@
+"""End-to-end Whitted wavefront integrator tests (the reference ships no
+integrator tests — SURVEY.md §4 'Untested'; these are new coverage)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trace_tpu.core import transform as T
+from trace_tpu.core.ray import RayDifferentials
+from trace_tpu.lights import lights as L
+from trace_tpu.materials.materials import MatteMaterial, MirrorMaterial
+from trace_tpu.integrators.whitted import li, WhittedIntegrator
+from trace_tpu.sampler.uniform import UniformSampler
+from trace_tpu.scene import SceneBuilder
+from trace_tpu.models.spheres import build_scene, build_camera
+
+F32 = jnp.float32
+
+
+def _head_on_rays(origins, directions):
+    n = origins.shape[0]
+    z3 = jnp.zeros((n, 3), F32)
+    return RayDifferentials(
+        o=origins, d=directions, t_max=jnp.full((n,), jnp.inf, F32),
+        time=jnp.zeros((n,), F32), has_differentials=jnp.zeros((n,), bool),
+        rx_origin=z3, ry_origin=z3, rx_direction=z3, ry_direction=z3,
+    )
+
+
+def test_li_direct_lighting_analytic():
+    # Lambertian sphere, head-on light at the camera: L = f * I/r^2 * cos.
+    b = SceneBuilder()
+    mat = b.material(MatteMaterial(Kd=(0.8, 0.8, 0.8)))
+    b.sphere(T.translate([0.0, 0.0, 0.0]), 1.0, mat)
+    b.light(L.point_light(T.translate([0.0, 0.0, 5.0]), (100.0, 100.0, 100.0)))
+    scene = b.build()
+
+    rd = _head_on_rays(
+        jnp.asarray([[0.0, 0.0, 5.0]]), jnp.asarray([[0.0, 0.0, -1.0]])
+    )
+    out = li(scene, rd, jax.random.key(0), max_depth=1)
+    # Hit at (0,0,1): light distance 4, cos = 1.
+    expected = (0.8 / np.pi) * (100.0 / 16.0)
+    assert float(out[0, 0]) == pytest.approx(expected, rel=1e-3)
+
+
+def test_li_shadowed_point_is_black():
+    b = SceneBuilder()
+    mat = b.material(MatteMaterial(Kd=(0.8, 0.8, 0.8)))
+    b.sphere(T.translate([0.0, 0.0, 0.0]), 1.0, mat)
+    b.sphere(T.translate([0.0, 0.0, 3.0]), 0.5, mat)  # blocks the light
+    b.light(L.point_light(T.translate([0.0, 0.0, 5.0]), (100.0, 100.0, 100.0)))
+    scene = b.build()
+    # Ray that reaches the big sphere from the side, at a point whose
+    # shadow ray to the light passes through the small sphere.
+    rd = _head_on_rays(
+        jnp.asarray([[5.0, 0.0, 0.9]]), jnp.asarray([[-1.0, 0.0, 0.0]])
+    )
+    out = li(scene, rd, jax.random.key(0), max_depth=1)
+    assert float(jnp.max(jnp.abs(out))) == 0.0
+
+
+def test_li_mirror_reflection_recurses():
+    # Mirror floor reflecting a lit red back wall.
+    b = SceneBuilder()
+    matte = b.material(MatteMaterial(Kd=(0.9, 0.1, 0.1)))
+    mirror = b.material(MirrorMaterial(Kr=(1.0, 1.0, 1.0)))
+    floor = np.array([[-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5]], np.float32)
+    quad = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+    b.triangle_mesh(T.identity(), quad, floor, mirror)
+    wall = np.array([[-5, 0, -2], [5, 0, -2], [5, 5, -2], [-5, 5, -2]], np.float32)
+    b.triangle_mesh(T.identity(), quad, wall, matte)
+    b.light(L.point_light(T.translate([0.0, 3.0, 2.0]), (200.0, 200.0, 200.0)))
+    scene = b.build()
+
+    # 45-degree ray onto the mirror floor at (0, 0, 1); the reflection
+    # travels up/backward and lands on the wall at (0, 3, -2), which the
+    # light hits head-on.
+    o = jnp.asarray([[0.0, 1.0, 2.0]])
+    d = jnp.asarray([[0.0, -1.0, -1.0]]) / np.sqrt(2)
+    out_deep = li(scene, _head_on_rays(o, d), jax.random.key(0), max_depth=3)
+    out_shallow = li(scene, _head_on_rays(o, d), jax.random.key(0), max_depth=1)
+    # Depth-1 sees only the mirror floor (f = 0 for delta lobes) -> red
+    # gain appears only via the reflected wall.
+    assert float(out_deep[0, 0]) > float(out_shallow[0, 0]) + 1e-4
+
+
+def test_render_shadows_scene_small():
+    scene = build_scene()
+    cam = build_camera(resolution=32, filename="/tmp/_shadows32.png")
+    integ = WhittedIntegrator(cam, UniformSampler(1, seed=7), max_depth=3)
+    state = integ.render(scene)
+    img = np.asarray(cam.film.to_image(state))
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05  # something is lit
+    # Determinism: same seed -> identical image.
+    state2 = WhittedIntegrator(
+        cam, UniformSampler(1, seed=7), max_depth=3
+    ).render(scene)
+    np.testing.assert_array_equal(img, np.asarray(cam.film.to_image(state2)))

@@ -1,0 +1,215 @@
+"""Shared integrator machinery: direct lighting, specular ray-differential
+propagation, radiance accumulation guards.
+
+TPU-native counterpart of the per-ray helpers in
+/root/reference/src/integrators/sampler.jl (li's light loop :85-94,
+specular_reflect/transmit :103-199) and sppm.jl's
+uniform_sample_one_light/estimate_direct (:503-562) — all vectorized over
+ray megabatches.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..bxdf import bsdf as B
+from ..bxdf import lobes as lb
+from ..core import math as m
+from ..core import spectrum as spec
+from ..core.ray import RayDifferentials
+from ..lights import lights as light_mod
+
+F32 = jnp.float32
+
+
+def sum_over_lights(scene, hit, lobes, key, flags=lb.BSDF_ALL & ~lb.BSDF_SPECULAR):
+    """Whitted's direct-lighting loop (sampler.jl:85-94): for every light,
+    sample_li, evaluate the BSDF, shadow-test, accumulate
+    f * Li * |wi.ns| / pdf. Returns [N, 3]."""
+    n = hit.t.shape[0]
+    total = jnp.zeros((n, 3), F32)
+    n_lights = light_mod.num_lights(scene.lights)
+    for li_idx in range(n_lights):
+        k = jax.random.fold_in(key, li_idx)
+        u = jax.random.uniform(k, (n, 2), F32)
+        idx = jnp.full((n,), li_idx, jnp.int32)
+        radiance, wi, pdf, p_light = light_mod.sample_li(
+            scene.lights, idx, hit.p, u,
+            tris=scene.triangles, max_area_tris=scene.max_area_tris,
+        )
+        f_val = B.f(lobes, hit.wo, wi, flags)
+        contrib_possible = ~spec.is_black(radiance) & (pdf > 0) & ~spec.is_black(f_val)
+        vis = scene.unoccluded(hit.p, p_light) & contrib_possible & hit.valid
+        contrib = f_val * radiance * (
+            jnp.abs(m.dot(wi, hit.ns)) / jnp.maximum(pdf, 1e-20)
+        )[..., None]
+        total = total + jnp.where(vis[..., None], contrib, 0.0)
+    return total
+
+
+def estimate_direct(scene, hit, lobes, light_idx, u_light, u_scatter,
+                    flags=lb.BSDF_ALL & ~lb.BSDF_SPECULAR):
+    """One-light direct estimate with multiple importance sampling.
+
+    Light-sampling leg mirrors the reference's estimate_direct
+    (sppm.jl:519-553); the BSDF-sampling leg (left unimplemented there,
+    sppm.jl:551-553) is completed here with the power heuristic
+    (sppm.jl:556-562) for area lights. Returns [N, 3].
+    """
+    n = hit.t.shape[0]
+    # --- light-sampling leg -------------------------------------------------
+    radiance, wi, light_pdf, p_light = light_mod.sample_li(
+        scene.lights, light_idx, hit.p, u_light,
+        tris=scene.triangles, max_area_tris=scene.max_area_tris,
+    )
+    f_val = B.f(lobes, hit.wo, wi, flags) * jnp.abs(
+        m.dot(wi, hit.ns)
+    )[..., None]
+    scatter_pdf = B.compute_pdf(lobes, hit.wo, wi, flags)
+    ok = (light_pdf > 0) & ~spec.is_black(radiance) & ~spec.is_black(f_val) & hit.valid
+    vis = scene.unoccluded(hit.p, p_light) & ok
+    delta = light_mod.is_delta(scene.lights)[light_idx]
+    w_l = jnp.where(
+        delta, 1.0, m.power_heuristic(1.0, light_pdf, 1.0, scatter_pdf)
+    )
+    ld = jnp.where(
+        vis[..., None],
+        f_val * radiance * (w_l / jnp.maximum(light_pdf, 1e-20))[..., None],
+        0.0,
+    )
+
+    # --- BSDF-sampling leg (area lights only) -------------------------------
+    if scene.max_area_tris > 0:
+        bs = B.sample_f(lobes, hit.wo, u_scatter, flags)
+        spec_sample = (bs.sampled_flags & lb.BSDF_SPECULAR) != 0
+        f_b = bs.f * jnp.abs(m.dot(bs.wi, hit.ns))[..., None]
+        go = hit.valid & ~delta & (bs.pdf > 0) & ~spec.is_black(f_b)
+        # Trace toward the light; does it hit one of this light's triangles?
+        o = hit.p + 1e-4 * bs.wi
+        hit2 = scene.intersect(o, bs.wi, jnp.full((n,), jnp.inf, F32))
+        tri_idx = jnp.clip(hit2.prim_id - scene.n_spheres, 0,
+                           max(scene.n_triangles - 1, 0))
+        hits_light = (
+            hit2.valid
+            & (hit2.prim_id >= scene.n_spheres)
+            & (scene.tri_light_id[tri_idx] == light_idx)
+        )
+        cos_l = m.dot(hit2.n, -bs.wi)
+        li_pdf = light_mod.pdf_li(
+            scene.lights, light_idx, hit.p, bs.wi, hit2.t,
+            jnp.abs(cos_l), scene.triangles,
+        )
+        le = light_mod.le_area(scene.lights, light_idx, hit2.n, -bs.wi)
+        w_b = jnp.where(spec_sample, 1.0,
+                        m.power_heuristic(1.0, bs.pdf, 1.0, li_pdf))
+        lb_leg = jnp.where(
+            (go & hits_light)[..., None],
+            f_b * le * (w_b / jnp.maximum(bs.pdf, 1e-20))[..., None],
+            0.0,
+        )
+        ld = ld + lb_leg
+    return ld
+
+
+def uniform_sample_one_light(scene, hit, lobes, key, light_cdf=None):
+    """Pick one light (uniform or by power CDF) and estimate_direct,
+    divided by the pick pmf (sppm.jl:503-517)."""
+    n = hit.t.shape[0]
+    n_lights = light_mod.num_lights(scene.lights)
+    if n_lights == 0:
+        return jnp.zeros((n, 3), F32)
+    k1, k2, k3 = jax.random.split(key, 3)
+    u_pick = jax.random.uniform(k1, (n,), F32)
+    if light_cdf is None:
+        idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
+        pmf = jnp.full((n,), 1.0 / n_lights, F32)
+    else:
+        idx = jnp.sum((light_cdf[None, :] < u_pick[:, None]).astype(jnp.int32), axis=1)
+        idx = jnp.minimum(idx, n_lights - 1)
+        prev = jnp.concatenate([jnp.zeros(1, F32), light_cdf[:-1]])
+        pmf = (light_cdf - prev)[idx]
+    u_light = jax.random.uniform(k2, (n, 2), F32)
+    u_scatter = jax.random.uniform(k3, (n, 3), F32)
+    ld = estimate_direct(scene, hit, lobes, idx, u_light, u_scatter)
+    return ld / jnp.maximum(pmf, 1e-12)[..., None]
+
+
+def light_power_cdf(scene):
+    """Power-weighted light distribution (sppm.jl:564-569) -> CDF [L]."""
+    p = spec.to_y(light_mod.power(scene.lights))
+    total = jnp.maximum(jnp.sum(p), 1e-20)
+    return jnp.cumsum(p / total)
+
+
+# ---------------------------------------------------------------------------
+# Specular ray-differential propagation (sampler.jl:103-199)
+# ---------------------------------------------------------------------------
+
+
+def _dndxy(hit):
+    dndx = hit.s_dndu * hit.dudx[..., None] + hit.s_dndv * hit.dvdx[..., None]
+    dndy = hit.s_dndu * hit.dudy[..., None] + hit.s_dndv * hit.dvdy[..., None]
+    return dndx, dndy
+
+
+def reflect_differentials(rd: RayDifferentials, hit, wi) -> tuple:
+    """Reflected-ray differentials (sampler.jl:120-141). Returns
+    (rx_o, ry_o, rx_d, ry_d)."""
+    ns = hit.ns
+    wo = hit.wo
+    dndx, dndy = _dndxy(hit)
+    rx_o = hit.p + hit.dpdx
+    ry_o = hit.p + hit.dpdy
+    dwodx = -rd.rx_direction - wo
+    dwody = -rd.ry_direction - wo
+    ddndx = m.dot(dwodx, ns) + m.dot(wo, dndx)
+    ddndy = m.dot(dwody, ns) + m.dot(wo, dndy)
+    won = m.dot(wo, ns)
+    rx_d = (
+        wi - dwodx
+        + 2.0 * (won[..., None] * dndx + ddndx[..., None] * ns)
+    )
+    ry_d = (
+        wi - dwody
+        + 2.0 * (won[..., None] * dndy + ddndy[..., None] * ns)
+    )
+    return rx_o, ry_o, rx_d, ry_d
+
+
+def transmit_differentials(rd: RayDifferentials, hit, lobes, wi) -> tuple:
+    """Transmitted-ray differentials (sampler.jl:160-199)."""
+    wo = hit.wo
+    ns = hit.ns
+    flip = m.dot(wo, ns) < 0
+    ns_f = jnp.where(flip[..., None], -ns, ns)
+    dndx, dndy = _dndxy(hit)
+    dndx = jnp.where(flip[..., None], -dndx, dndx)
+    dndy = jnp.where(flip[..., None], -dndy, dndy)
+
+    eta = jnp.where(flip, 1.0 / jnp.maximum(lobes.eta, 1e-6), lobes.eta)
+    rx_o = hit.p + hit.dpdx
+    ry_o = hit.p + hit.dpdy
+    dwodx = -rd.rx_direction - wo
+    dwody = -rd.ry_direction - wo
+    ddndx = m.dot(dwodx, ns_f) + m.dot(wo, dndx)
+    ddndy = m.dot(dwody, ns_f) + m.dot(wo, dndy)
+    mu = eta * m.dot(wo, ns_f) - m.dot(wi, ns_f)
+    won = m.dot(wo, ns_f)
+    win = jnp.where(
+        jnp.abs(m.dot(wi, ns_f)) < 1e-9, 1e-9, m.dot(wi, ns_f)
+    )
+    dmudx = (eta - eta * eta * won / win) * ddndx
+    dmudy = (eta - eta * eta * won / win) * ddndy
+    rx_d = wi + eta[..., None] * dwodx - (
+        mu[..., None] * dndx + dmudx[..., None] * ns_f
+    )
+    ry_d = wi + eta[..., None] * dwody - (
+        mu[..., None] * dndy + dmudy[..., None] * ns_f
+    )
+    return rx_o, ry_o, rx_d, ry_d
+
+
+def sanitize_radiance(l):
+    """NaN/negative-radiance guard (sampler.jl:41-49)."""
+    l = jnp.where(jnp.isfinite(l), l, 0.0)
+    return jnp.maximum(l, 0.0)

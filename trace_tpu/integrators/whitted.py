@@ -10,9 +10,6 @@ recursion tree becomes an iterative wavefront with stream compaction
 """
 from __future__ import annotations
 
-import functools
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -21,12 +18,11 @@ from ..bxdf import lobes as lb
 from ..core import math as m
 from ..core import spectrum as spec
 from ..core.interaction import compute_differentials
-from ..core.ray import RayDifferentials, SPAWN_EPS, scale_differentials
-from ..film.film import FilmState
+from ..core.ray import RayDifferentials, SPAWN_EPS
 from ..materials.materials import compute_scattering
-from ..sampler.uniform import UniformSampler, get_camera_samples
 from ..utils.pytree import replace
 from . import common
+from .base import SamplerIntegrator
 
 F32 = jnp.float32
 
@@ -56,7 +52,7 @@ def _sample_specular(scene, hit, lobes, rd, valid, key, flags):
     child = RayDifferentials(
         o=hit.p + SPAWN_EPS * bs.wi,
         d=bs.wi,
-        t_max=jnp.full((n,), jnp.inf, F32),
+        t_max=hit.time * 0.0 + jnp.inf,  # varying-axis-preserving full()
         time=hit.time,
         has_differentials=rd.has_differentials & ok,
         rx_origin=rx_o, ry_origin=ry_o,
@@ -79,15 +75,19 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5):
     after a branching level) are dropped deterministically.
     """
     n = rd.o.shape[0]
-    l_buf = jnp.zeros((n, 3), F32)
-    queue = dict(
-        rd=rd,
-        beta=jnp.ones((n, 3), F32),
-        slot=jnp.arange(n, dtype=jnp.int32),
-        active=jnp.ones((n,), bool),
+    queue = common.vary_like(
+        dict(
+            rd=rd,
+            beta=jnp.ones((n, 3), F32),
+            slot=jnp.arange(n, dtype=jnp.int32),
+            active=jnp.ones((n,), bool),
+        ),
+        rd.o[..., 0],
     )
 
-    for depth in range(1, max_depth + 1):
+    def body(depth, carry):
+        # depth is traced: one compiled body serves every level.
+        l_buf, queue = carry
         k_depth = jax.random.fold_in(key, depth)
         q_rd = queue["rd"]
         hit = scene.intersect(q_rd.o, q_rd.d, q_rd.t_max, q_rd.time)
@@ -109,17 +109,15 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5):
             jnp.where(valid[..., None], contrib, 0.0)
         )
 
-        if depth == max_depth:
-            break
-
-        # Specular children (sampler.jl:96-100).
+        # Specular children (sampler.jl:96-100); suppressed at max_depth.
+        spawn = valid & (depth < max_depth)
         children = []
         for branch, flags in enumerate(
             (lb.BSDF_SPECULAR | lb.BSDF_REFLECTION,
              lb.BSDF_SPECULAR | lb.BSDF_TRANSMISSION)
         ):
             child_rd, factor, ok = _sample_specular(
-                scene, hit, lobes, q_rd, valid,
+                scene, hit, lobes, q_rd, spawn,
                 jax.random.fold_in(k_depth, branch + 1), flags,
             )
             children.append(dict(
@@ -132,77 +130,16 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5):
             jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *children),
             n,
         )
+        return l_buf, queue
 
+    l_buf0 = common.vary_like(jnp.zeros((n, 3), F32), rd.o[..., 0])
+    l_buf, _ = jax.lax.fori_loop(1, max_depth + 1, body, (l_buf0, queue))
     return l_buf
 
 
-class WhittedIntegrator:
+class WhittedIntegrator(SamplerIntegrator):
     """Drop-in equivalent of the reference's WhittedIntegrator functor
-    (sampler.jl:3-56): render loop over the film sample bounds, spp samples
-    per pixel, deterministic filter-footprint accumulation into the film."""
+    (sampler.jl:3-56); render loop inherited from SamplerIntegrator."""
 
-    def __init__(self, camera, sampler: UniformSampler | None = None,
-                 max_depth: int = 5, pixel_chunk: int = 1 << 16):
-        self.camera = camera
-        self.sampler = sampler or UniformSampler(1)
-        self.max_depth = int(max_depth)
-        self.pixel_chunk = int(pixel_chunk)
-
-    def __call__(self, scene, save: bool = True):
-        state = self.render(scene)
-        if save:
-            self.camera.film.save_png(state)
-        return state
-
-    # -- rendering ----------------------------------------------------------
-
-    def _pixel_grid(self):
-        film = self.camera.film
-        (x0, y0), (x1, y1) = film.sample_bounds()
-        xs = np.arange(x0, x1 + 1, dtype=np.int32)
-        ys = np.arange(y0, y1 + 1, dtype=np.int32)
-        gx, gy = np.meshgrid(xs, ys, indexing="xy")
-        return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
-
-    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
-    def _sample_pass(self, scene, state: FilmState, pixels, lane_valid, key):
-        """One sample per pixel for one chunk (jitted once per chunk shape;
-        the spp loop stays outside so compile cost is O(1) in spp)."""
-        spp = self.sampler.samples_per_pixel
-        p_film, u_lens, u_time = get_camera_samples(
-            jax.random.fold_in(key, 0), pixels
-        )
-        rd, weight = self.camera.generate_ray_differentials(
-            p_film, u_lens, u_time
-        )
-        rd = scale_differentials(rd, np.float32(1.0 / np.sqrt(spp)))
-        l = li(scene, rd, jax.random.fold_in(key, 1), self.max_depth)
-        l = common.sanitize_radiance(l)
-        return self.camera.film.add_samples(
-            state, p_film,
-            jnp.where(lane_valid[..., None], l, 0.0),
-            jnp.where(lane_valid, weight, 0.0),
-        )
-
-    def render(self, scene) -> FilmState:
-        film = self.camera.film
-        state = film.initial_state()
-        pixels = self._pixel_grid()
-        n = pixels.shape[0]
-        chunk = min(self.pixel_chunk, n)
-        spp = self.sampler.samples_per_pixel
-        key = jax.random.key(self.sampler.seed)
-        for ci, start in enumerate(range(0, n, chunk)):
-            part = pixels[start:start + chunk]
-            valid = np.ones(part.shape[0], bool)
-            if part.shape[0] < chunk:  # pad the tail to keep shapes static
-                pad = chunk - part.shape[0]
-                part = np.concatenate([part, np.zeros((pad, 2), np.int32)])
-                valid = np.concatenate([valid, np.zeros(pad, bool)])
-            part, valid = jnp.asarray(part), jnp.asarray(valid)
-            k_chunk = jax.random.fold_in(key, ci)
-            for s in range(spp):
-                state = self._sample_pass(
-                    scene, state, part, valid, jax.random.fold_in(k_chunk, s)
-                )
-        return state
+    def li(self, scene, rd, key):
+        return li(scene, rd, key, self.max_depth)

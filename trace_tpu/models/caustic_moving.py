@@ -1,0 +1,91 @@
+"""Animated caustic scene: the caustic-glass geometry with a rising spot
+light + fill point light, one SPPM run per frame.
+
+TPU-native counterpart of /root/reference/docs/code/caustic_moving.jl —
+same shift schedule (0:0.1:5), light colors/intensities, radius 0.055,
+25 iterations and 1.25M photons per frame. Geometry is static across
+frames (only the light moves), so the scene is built once and the BVH is
+reused; ``render_animation`` also exercises the per-frame BVH refit path
+for parity with BASELINE.json config 5.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import math as m
+from ..core import transform as T
+from ..integrators.sppm import SPPMIntegrator
+from ..lights.lights import pack_lights, point_light, spot_light
+from ..lights import lights as light_mod
+from ..scene import Scene
+from .caustic_glass import PLY_PATH, build_camera, build_scene
+
+SHIFTS = np.arange(0.0, 5.0 + 1e-6, 0.1, dtype=np.float32)
+
+
+def _spot_l2w(frm):
+    import jax.numpy as jnp
+
+    to = np.array([-5.0, 0.0, 5.0], np.float32)
+    d = to - frm
+    d = d / np.linalg.norm(d)
+    dirv, du, dv = m.coordinate_system(jnp.asarray(d))
+    dir_to_z = np.eye(4, dtype=np.float32)
+    dir_to_z[0, :3] = np.asarray(du)
+    dir_to_z[1, :3] = np.asarray(dv)
+    dir_to_z[2, :3] = np.asarray(dirv)
+    return T.compose(
+        T.compose(T.translate([4.5, 0.0, -101.0]), T.translate(frm)),
+        T.inverse(T.from_matrix(dir_to_z)),
+    )
+
+
+def frame_lights(shift: float):
+    """Light list for one animation frame (caustic_moving.jl:60-89)."""
+    frm = np.array([0.0, 0.5 + shift, 0.0], np.float32)
+    spot_color = tuple(60.0 * np.array([0.988235, 0.972549, 0.57647]))
+    return [
+        point_light(T.translate([2.5, 10.0, -100.0]), (20.0, 20.0, 20.0)),
+        spot_light(_spot_l2w(frm), spot_color, 30.0, 30.0 - 10.0),
+    ]
+
+
+def set_frame_lights(scene: Scene, shift: float) -> Scene:
+    """Swap the scene's light table for the frame's lights; geometry and
+    BVH stay untouched (the reference rebuilds the Scene per frame,
+    caustic_moving.jl:90)."""
+    lights = pack_lights(frame_lights(shift), scene.triangles)
+    center = (scene.world_lo + scene.world_hi) / 2
+    radius = float(np.linalg.norm(scene.world_hi - center))
+    scene.lights = light_mod.preprocess(lights, center, radius)
+    scene.max_area_tris = 0
+    return scene
+
+
+def render_animation(
+    resolution: int = 256, frames=None, iterations: int = 25,
+    photons_per_iteration: int = 1_250_000, max_depth: int = 5,
+    out_pattern: str = "caustic-moving-{i}.png", ply_path: str = PLY_PATH,
+    refit_each_frame: bool = False, **integ_kw,
+):
+    """Render the animation; yields (frame_index, SPPMState)."""
+    scene = build_scene(ply_path)
+    frames = SHIFTS if frames is None else frames
+    for i, shift in enumerate(frames, start=1):
+        scene = set_frame_lights(scene, float(shift))
+        if refit_each_frame and scene.accel is not None:
+            from ..accel.bvh import refit_bvh
+            from ..shapes.triangle import world_bounds_np
+
+            scene.accel.bvh = refit_bvh(
+                scene.accel.bvh, world_bounds_np(scene.triangles)
+            )
+        camera = build_camera(resolution, out_pattern.format(i=i))
+        integ = SPPMIntegrator(
+            camera, initial_search_radius=0.055, max_depth=max_depth,
+            n_iterations=iterations,
+            photons_per_iteration=photons_per_iteration, **integ_kw,
+        )
+        state = integ.render(scene)
+        integ.save(state, iterations)
+        yield i, state

@@ -91,9 +91,12 @@ class SceneBuilder:
         if use_bvh is None:
             use_bvh = scene.n_triangles > 64
         if use_bvh and scene.n_triangles:
-            from .accel.bvh import attach
+            from .accel.clusters import attach
 
-            attach(scene, max_prims_per_leaf)
+            # Leaf size scales with scene size to bound the [rays x
+            # clusters] entry table (see accel/clusters.py).
+            leaf = 32 if scene.n_triangles < 300_000 else 128
+            attach(scene, leaf_tris=leaf, max_prims_per_leaf=max_prims_per_leaf)
         return scene
 
 

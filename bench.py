@@ -33,7 +33,7 @@ def main():
     camera = build_camera(resolution=RES, filename="/tmp/bench_shadows.png")
     integ = WhittedIntegrator(
         camera, UniformSampler(SPP, seed=0), max_depth=MAX_DEPTH,
-        pixel_chunk=1 << 16,
+        pixel_chunk=1 << 17,  # whole frame in one chunk -> spp dispatches
     )
 
     # Warm-up (compile).

@@ -133,3 +133,53 @@ def test_ply_ascii_roundtrip(tmp_path):
     m = load_ply(str(path))
     assert m["vertices"].shape == (4, 3)
     np.testing.assert_array_equal(m["indices"], [[0, 1, 2], [0, 2, 3]])
+
+
+def test_mesh_heavy_scene():
+    # Scaled-down config-4 scene (the full 1M-tri variant builds in ~45s;
+    # tested at 50k to keep CI fast — same code path).
+    from trace_tpu.models.mesh_heavy import build_scene
+
+    scene = build_scene(target_tris=50_000)
+    assert scene.n_triangles > 45_000
+    assert scene.accel is not None
+    o = jnp.asarray([[0.0, 50.0, 0.0], [0.0, 50.0, 100.0]])
+    d = jnp.asarray([[0.0, -1.0, 0.0], [0.0, -1.0, 0.0]])
+    hit = scene.intersect(o, d, jnp.full(2, jnp.inf))
+    assert bool(hit.valid[0])      # over the terrain
+    assert not bool(hit.valid[1])  # off the edge
+
+
+def test_bvh_refit_native_matches_rebuild_bounds():
+    from trace_tpu.accel.bvh import build_bvh, refit_bvh
+    from trace_tpu.shapes import triangle as tri_mod
+    from trace_tpu.core import transform as T
+
+    rng = np.random.default_rng(11)
+    nt = 500
+    c = rng.uniform(-5, 5, (nt, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.5, (nt, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.5, (nt, 3)).astype(np.float32)
+    verts = np.concatenate([c, c + e1, c + e2], 0)
+    idx = np.stack([np.arange(nt), np.arange(nt) + nt, np.arange(nt) + 2 * nt], -1)
+    tris = tri_mod.pack_triangle_mesh(T.identity(), idx, verts)
+    bounds = tri_mod.world_bounds_np(tris)
+    bvh = build_bvh(bounds, 4)
+
+    # Move the geometry, refit, and check every node bound contains its
+    # subtree's primitive bounds.
+    shift = np.array([1.5, -2.0, 0.5], np.float32)
+    moved = bounds + shift
+    refit = refit_bvh(bvh, moved)
+    lo = np.asarray(refit.lo)
+    hi = np.asarray(refit.hi)
+    np.testing.assert_allclose(lo[0], moved[:, 0].min(0), atol=1e-5)
+    np.testing.assert_allclose(hi[0], moved[:, 1].max(0), atol=1e-5)
+    # Leaves exactly bound their primitives.
+    n_prims = np.asarray(bvh.n_prims)
+    start = np.asarray(bvh.prim_start)
+    order = np.asarray(bvh.prim_order)
+    for node in np.flatnonzero(n_prims > 0)[:50]:
+        ids = order[start[node]:start[node] + n_prims[node]]
+        np.testing.assert_allclose(lo[node], moved[ids, 0].min(0), atol=1e-5)
+        np.testing.assert_allclose(hi[node], moved[ids, 1].max(0), atol=1e-5)

@@ -125,3 +125,37 @@ def test_sppm_shadows_smoke_deterministic():
     assert img1.max() > 0.01
     img2 = run()
     np.testing.assert_array_equal(img1, img2)
+
+
+def test_caustic_moving_frame_lights():
+    # Animated-light schedule (caustic_moving.jl:58-89): light table swaps
+    # per frame; scene/BVH stay fixed.
+    from trace_tpu.models import caustic_moving as cm
+
+    assert len(cm.SHIFTS) == 51
+    l0 = cm.frame_lights(0.0)
+    l5 = cm.frame_lights(5.0)
+    assert len(l0) == 2 and l0[0]["kind"] == 0 and l0[1]["kind"] == 1
+    # The spot origin rises with the shift.
+    p0 = np.asarray(l0[1]["l2w"].m)[:3, 3]
+    p5 = np.asarray(l5[1]["l2w"].m)[:3, 3]
+    np.testing.assert_allclose(p5 - p0, [0, 5, 0], atol=1e-5)
+
+
+def test_sppm_checkpoint_resume_bit_exact():
+    from trace_tpu.utils.checkpoint import save_pytree, load_pytree
+    scene = build_scene()
+    cam = build_camera(resolution=12, filename="/tmp/_sppm_ckpt.png")
+    kw = dict(initial_search_radius=0.2, max_depth=2,
+              photons_per_iteration=512, seed=4)
+    full = SPPMIntegrator(cam, n_iterations=2, **kw).render(scene)
+    # Run 1 iteration, checkpoint, resume for the 2nd.
+    integ = SPPMIntegrator(cam, n_iterations=2, **kw)
+    st1 = integ.render(scene, n_iterations=1)
+    save_pytree("/tmp/_sppm_state.npz", st1, metadata={"iteration": 1})
+    st1b = load_pytree("/tmp/_sppm_state.npz", st1)
+    resumed = integ.render(scene, state=st1b, start_iteration=2)
+    np.testing.assert_array_equal(np.asarray(full.tau), np.asarray(resumed.tau))
+    np.testing.assert_array_equal(np.asarray(full.ld), np.asarray(resumed.ld))
+    np.testing.assert_array_equal(
+        np.asarray(full.radius), np.asarray(resumed.radius))

@@ -29,6 +29,7 @@ from .lights.lights import (
     area_light, distant_light, point_light, spot_light,
 )
 from .sampler.uniform import UniformSampler
+from .sampler.stratified import StratifiedSampler
 from .integrators.whitted import WhittedIntegrator
 from .integrators.path import PathIntegrator
 from .integrators.sppm import SPPMIntegrator
@@ -43,7 +44,7 @@ __all__ = [
     "BilerpTexture", "ConstantTexture", "MixTexture", "ScaleTexture",
     "TransformMapping3D", "UVMapping2D",
     "area_light", "distant_light", "point_light", "spot_light",
-    "UniformSampler",
+    "UniformSampler", "StratifiedSampler",
     "WhittedIntegrator", "PathIntegrator", "SPPMIntegrator",
     "RenderStats",
 ]

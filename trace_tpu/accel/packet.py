@@ -17,6 +17,13 @@ The packet kernel gives the reference's early-out economics
 
 Capacity: scene data must fit in VMEM (~10 MB -> about 150k triangles).
 Larger scenes fall back to the cluster sweep (accel/clusters.py).
+
+STATUS: exact in interpret mode (tests/test_accel_equivalence.py); on the
+real chip Mosaic currently rejects the scalar node-metadata reads from
+VMEM ("index in dimension 1 must be a multiple of 128") — node metadata
+must move to SMEM (scalar memory) and leaf vertex reads to tile-aligned
+vector loads. Until that rework lands the default accelerator is the
+MXU cluster sweep; this kernel is not wired into SceneBuilder.
 """
 from __future__ import annotations
 

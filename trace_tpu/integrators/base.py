@@ -51,13 +51,19 @@ class SamplerIntegrator:
         return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
 
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
-    def _sample_pass(self, scene, state: FilmState, pixels, lane_valid, key):
+    def _sample_pass(self, scene, state: FilmState, pixels, lane_valid, key,
+                     stratum_lo, stratum_scale):
         """One sample per pixel for one chunk (jitted once per chunk shape;
-        the spp loop stays outside so compile cost is O(1) in spp)."""
+        the spp loop stays outside so compile cost is O(1) in spp).
+        stratum_lo/scale ([2] f32) confine the film jitter to a stratum —
+        (0, 1) for the uniform sampler."""
         spp = self.sampler.samples_per_pixel
         p_film, u_lens, u_time = get_camera_samples(
             jax.random.fold_in(key, 0), pixels
         )
+        p_film = pixels.astype(jnp.float32) + stratum_lo + (
+            p_film - pixels.astype(jnp.float32)
+        ) * stratum_scale
         rd, weight = self.camera.generate_ray_differentials(
             p_film, u_lens, u_time
         )
@@ -99,8 +105,20 @@ class SamplerIntegrator:
             part, valid = jnp.asarray(part), jnp.asarray(valid)
             k_chunk = jax.random.fold_in(key, ci)
             for s in range(spp):
+                if hasattr(self.sampler, "stratum"):
+                    sx, sy = self.sampler.stratum(s)
+                    lo = np.array(
+                        [sx / self.sampler.x_samples,
+                         sy / self.sampler.y_samples], np.float32)
+                    scale = np.array(
+                        [1.0 / self.sampler.x_samples,
+                         1.0 / self.sampler.y_samples], np.float32)
+                else:
+                    lo = np.zeros(2, np.float32)
+                    scale = np.ones(2, np.float32)
                 state = self._sample_pass(
-                    scene, state, part, valid, jax.random.fold_in(k_chunk, s)
+                    scene, state, part, valid, jax.random.fold_in(k_chunk, s),
+                    jnp.asarray(lo), jnp.asarray(scale),
                 )
         if self.stats is not None:
             jax.block_until_ready(state.xyz)

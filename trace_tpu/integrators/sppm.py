@@ -132,8 +132,11 @@ class SPPMIntegrator:
                  max_depth: int = 5, n_iterations: int = 64,
                  photons_per_iteration: int = -1, write_frequency: int = 0,
                  pixel_chunk: int = 1 << 16, pair_chunk: int = 1 << 19,
-                 seed: int = 0, stats=None):
+                 seed: int = 0, stats=None, mesh=None,
+                 shard_axis: str = "photons"):
         self.stats = stats
+        self.mesh = mesh            # jax.sharding.Mesh -> SPMD photon/pair
+        self.shard_axis = shard_axis
         self.camera = camera
         self.initial_search_radius = float(initial_search_radius)
         self.max_depth = int(max_depth)
@@ -331,9 +334,18 @@ class SPPMIntegrator:
     def _photon_walk_chunk(self, scene, halton_idx, lane_valid,
                            light_cdf, light_pmf,
                            grid_lo, grid_res, grid_inv_extent, sorted_cells):
+        return self._photon_walk_body(
+            scene, halton_idx, lane_valid, light_cdf, light_pmf,
+            grid_lo, grid_res, grid_inv_extent, sorted_cells,
+        )
+
+    def _photon_walk_body(self, scene, halton_idx, lane_valid,
+                          light_cdf, light_pmf,
+                          grid_lo, grid_res, grid_inv_extent, sorted_cells):
         """Emit + walk a chunk of photons (sppm.jl:334-436). Returns splat
         records for depths 2..max_depth: dict of [S=(D-1)*C] arrays with
-        the cell-range (start, count) of each splat."""
+        the cell-range (start, count) of each splat. Pure (unjitted) so it
+        can also run under shard_map (parallel/sppm.py)."""
         c = halton_idx.shape[0]
         ri = lambda dim: radical_inverse(dim, halton_idx)
 
@@ -367,12 +379,22 @@ class SPPMIntegrator:
         beta_y0 = jnp.maximum(spec.to_y(beta), 1e-20)
 
         n_splat_levels = self.max_depth - 1
-        splats = dict(
-            p=jnp.zeros((n_splat_levels, c, 3), F32),
-            d=jnp.zeros((n_splat_levels, c, 3), F32),
-            beta=jnp.zeros((n_splat_levels, c, 3), F32),
-            start=jnp.zeros((n_splat_levels, c), jnp.int32),
-            count=jnp.zeros((n_splat_levels, c), jnp.int32),
+        vary_src = jnp.zeros((1, c), F32) + beta_y0 * 0.0  # varying zeros
+        splats = jax.tree.map(
+            lambda x: x + 0,  # no-op; keep tree structure explicit
+            dict(
+                p=jnp.zeros((n_splat_levels, c, 3), F32),
+                d=jnp.zeros((n_splat_levels, c, 3), F32),
+                beta=jnp.zeros((n_splat_levels, c, 3), F32),
+                start=jnp.zeros((n_splat_levels, c), jnp.int32),
+                count=jnp.zeros((n_splat_levels, c), jnp.int32),
+            ),
+        )
+        splats = jax.tree.map(
+            lambda x: x + jnp.reshape(
+                vary_src, (1, c) + (1,) * (x.ndim - 2)
+            ).astype(x.dtype),
+            splats,
         )
 
         def body(depth, carry):
@@ -444,9 +466,18 @@ class SPPMIntegrator:
     def _pair_pass(self, phi, m_cnt, pair_base, total, offsets,
                    sp_p, sp_d, sp_beta, sp_start,
                    vp: VisiblePoints, radius, sorted_vp):
+        return self._pair_body(
+            phi, m_cnt, pair_base, total, offsets, sp_p, sp_d, sp_beta,
+            sp_start, vp, radius, sorted_vp, self.pair_chunk,
+        )
+
+    def _pair_body(self, phi, m_cnt, pair_base, total, offsets,
+                   sp_p, sp_d, sp_beta, sp_start,
+                   vp: VisiblePoints, radius, sorted_vp, chunk: int):
         """Accumulate one fixed-size chunk of (photon, visible-point)
-        candidate pairs into (phi, M) with deterministic scatter-adds."""
-        j = pair_base + jnp.arange(self.pair_chunk, dtype=jnp.int32)
+        candidate pairs into (phi, M) with deterministic scatter-adds.
+        Pure (unjitted) so it can also run under shard_map."""
+        j = pair_base + jnp.arange(chunk, dtype=jnp.int32)
         in_range = j < total
         s = jnp.clip(
             jnp.searchsorted(offsets, j, side="right") - 1,
@@ -576,27 +607,41 @@ class SPPMIntegrator:
         # 2) Grid.
         grid = self._build_grid(vp, state.radius)
 
-        # 3) Photon walk (chunked).
+        # 3) Photon walk (chunked, or SPMD over the mesh photon axis).
         np_iter = self.photons_per_iteration
         halton_base = np.uint32((iteration - 1) * np_iter)
-        pchunk = min(self.pixel_chunk, np_iter)
-        splat_parts = []
-        for startp in range(0, np_iter, pchunk):
-            size = min(pchunk, np_iter - startp)
-            idx = halton_base + np.arange(startp, startp + pchunk,
-                                          dtype=np.uint32)
-            valid = np.arange(pchunk) < size  # pad the tail chunk
-            sp = self._photon_walk_chunk(
-                scene, jnp.asarray(idx), jnp.asarray(valid),
-                light_cdf, light_pmf,
+        if self.mesh is not None:
+            from ..parallel.sppm import photon_walk_sharded
+
+            ndev = self.mesh.devices.size
+            npad = -(-np_iter // ndev) * ndev
+            idx = halton_base + np.arange(npad, dtype=np.uint32)
+            valid = np.arange(npad) < np_iter
+            splat = photon_walk_sharded(
+                self, scene, self.mesh, self.shard_axis,
+                jnp.asarray(idx), jnp.asarray(valid), light_cdf, light_pmf,
                 grid["lo"], grid["res"], grid["inv_extent"],
                 grid["sorted_cells"],
             )
-            splat_parts.append(sp)
-        splat = {
-            k: jnp.concatenate([p[k] for p in splat_parts], axis=0)
-            for k in splat_parts[0]
-        }
+        else:
+            pchunk = min(self.pixel_chunk, np_iter)
+            splat_parts = []
+            for startp in range(0, np_iter, pchunk):
+                size = min(pchunk, np_iter - startp)
+                idx = halton_base + np.arange(startp, startp + pchunk,
+                                              dtype=np.uint32)
+                valid = np.arange(pchunk) < size  # pad the tail chunk
+                sp = self._photon_walk_chunk(
+                    scene, jnp.asarray(idx), jnp.asarray(valid),
+                    light_cdf, light_pmf,
+                    grid["lo"], grid["res"], grid["inv_extent"],
+                    grid["sorted_cells"],
+                )
+                splat_parts.append(sp)
+            splat = {
+                k: jnp.concatenate([p[k] for p in splat_parts], axis=0)
+                for k in splat_parts[0]
+            }
 
         # 4) Pair expansion + reduction.
         counts = splat["count"]
@@ -613,12 +658,28 @@ class SPPMIntegrator:
                 n_pix * self.max_depth * 2 + np_iter * self.max_depth,
             )
         phi, m_cnt = state.phi, state.m
-        for base in range(0, total, self.pair_chunk):
-            phi, m_cnt = self._pair_pass(
-                phi, m_cnt, jnp.int32(base), jnp.int32(total), offsets,
-                splat["p"], splat["d"], splat["beta"], splat["start"],
-                vp, state.radius, grid["sorted_vp"],
-            )
+        if self.mesh is not None:
+            from ..parallel.sppm import pair_pass_sharded
+
+            ndev = self.mesh.devices.size
+            super_chunk = ndev * self.pair_chunk
+            for base in range(0, total, super_chunk):
+                bases = jnp.arange(ndev, dtype=jnp.int32) * self.pair_chunk \
+                    + jnp.int32(base)
+                phi, m_cnt = pair_pass_sharded(
+                    self, self.mesh, self.shard_axis, phi, m_cnt,
+                    jnp.int32(total), offsets,
+                    splat["p"], splat["d"], splat["beta"], splat["start"],
+                    vp, state.radius, grid["sorted_vp"],
+                    super_chunk, bases,
+                )
+        else:
+            for base in range(0, total, self.pair_chunk):
+                phi, m_cnt = self._pair_pass(
+                    phi, m_cnt, jnp.int32(base), jnp.int32(total), offsets,
+                    splat["p"], splat["d"], splat["beta"], splat["start"],
+                    vp, state.radius, grid["sorted_vp"],
+                )
         state = SPPMState(state.ld, state.tau, state.radius, state.n,
                           phi, m_cnt)
 

@@ -1,0 +1,84 @@
+"""Multi-chip SPPM: photon- and pair-level data parallelism over a mesh.
+
+SURVEY.md §7 step 9 ("per-chip photon index ranges"): the reference's
+photon pass is already schedule-independent because every sample dimension
+is keyed on the global photon index (sppm.jl:328-339), so sharding photons
+across chips is exact — each chip walks its Halton index range, and the
+photon -> visible-point pair reduction becomes per-chip partial (phi, M)
+accumulators combined with one psum over ICI (the deterministic
+multi-chip replacement for the reference's atomics).
+
+The scene, grid and visible points are replicated (they are read-only
+within an iteration, matching the reference's shared-memory reads).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..integrators import common
+
+F32 = jnp.float32
+
+
+def photon_walk_sharded(integ, scene, mesh: Mesh, axis: str,
+                        halton_idx, lane_valid, light_cdf, light_pmf,
+                        grid_lo, grid_res, grid_inv_extent, sorted_cells):
+    """Shard the photon walk over `axis`; returns the global splat dict
+    (sharded along photons)."""
+
+    def body(idx, valid, cdf, pmf, lo, res, inv_ext, cells):
+        return integ._photon_walk_body(
+            scene, idx, valid, cdf, pmf, lo, res, inv_ext, cells
+        )
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(), P(), P(), P()),
+        out_specs=P(axis),
+    )
+    return jax.jit(f)(
+        halton_idx, lane_valid, light_cdf, light_pmf,
+        grid_lo, grid_res, grid_inv_extent, sorted_cells,
+    )
+
+
+def pair_pass_sharded(integ, mesh: Mesh, axis: str,
+                      phi, m_cnt, total, offsets,
+                      sp_p, sp_d, sp_beta, sp_start,
+                      vp, radius, sorted_vp,
+                      super_chunk: int, bases):
+    """One sharded pair sweep: pair indices split over `axis` (one base
+    per device, integ.pair_chunk pairs each), per-chip partial (phi, M)
+    psum-reduced then added into the running accumulators."""
+
+    n_local = super_chunk // mesh.devices.size
+
+    def body(pair_base_arr, total_a, offsets_a, p_a, d_a, b_a, s_a,
+             vp_a, radius_a, sv_a):
+        base = pair_base_arr[0]
+        phi_l = jnp.zeros_like(phi)
+        m_l = jnp.zeros_like(m_cnt)
+        phi_l, m_l = integ._pair_body(
+            phi_l, m_l, base, total_a, offsets_a,
+            p_a, d_a, b_a, s_a, vp_a, radius_a, sv_a, n_local,
+        )
+        return (
+            jax.lax.psum(phi_l, axis),
+            jax.lax.psum(m_l, axis),
+        )
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+    dphi, dm = jax.jit(f)(
+        bases, total, offsets, sp_p, sp_d, sp_beta, sp_start,
+        vp, radius, sorted_vp,
+    )
+    return phi + dphi, m_cnt + dm

@@ -45,3 +45,19 @@ class Distribution1D:
         c1 = self.cdf[offset + 1]
         u_remapped = (u - c0) / jnp.where(c1 > c0, c1 - c0, 1.0)
         return offset.astype(jnp.int32), pdf, u_remapped
+
+    def sample_continuous(self, u):
+        """Continuous counterpart (PBRT SampleContinuous): returns
+        (x in [0,1), pdf, index). The reference only uses the discrete
+        variant; this completes the Distribution1D surface."""
+        offset = jnp.clip(
+            jnp.searchsorted(self.cdf, u, side="right") - 1, 0, self.n - 1
+        )
+        c0 = self.cdf[offset]
+        c1 = self.cdf[offset + 1]
+        du = (u - c0) / jnp.where(c1 > c0, c1 - c0, 1.0)
+        pdf = jnp.where(
+            self.func_int > 0, self.func[offset] / self.func_int, 0.0
+        )
+        x = (offset.astype(F32) + du) / self.n
+        return x, pdf, offset.astype(jnp.int32)

@@ -90,3 +90,17 @@ def test_packet_kernel_interpret_agrees():
     h, t, i = pa._traverse(o, d, t_max, False)
     np.testing.assert_array_equal(np.asarray(h), bh)
     np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)
+
+
+def test_pallas_fused_mxu_kernel_agrees():
+    from trace_tpu.ops.intersect_pallas import PallasMXUAccelerator
+
+    tris = _soup(300, seed=7)
+    o, d = _rays(256, seed=8)
+    t_max = jnp.full(256, jnp.inf)
+    bh, bt, bi = _brute(tris, o, d, t_max)
+    acc = PallasMXUAccelerator(tris, interpret=True)
+    h, t, i = acc.traverse(o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(h), bh)
+    np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i)[bh], bi[bh])

@@ -40,17 +40,17 @@ def build_scene(ply_path: str = PLY_PATH) -> Scene:
         glass, normals=mesh["normals"], uv=mesh["uv"],
     )
 
-    # Floor (caustic_glass.jl:30-43). Note the reference's vertex list
-    # repeats (0,0,0)/(0,0,-30) — replicated verbatim.
+    # Floor (caustic_glass.jl:30-43). The reference's vertex list collapses
+    # both floor triangles onto a line (duplicated vertices), so its floor
+    # never renders in the current code; we use the intended 30x30 quad.
     floor_verts = np.array(
         [
-            [0, 0, 0], [0, 0, -30], [0, 0, 0],
-            [0, 0, -30], [30, 0, -30], [30, 0, 0],
+            [0, 0, 0], [0, 0, -30], [30, 0, -30], [30, 0, 0],
         ],
         np.float32,
     )
-    floor_idx = np.array([[0, 1, 2], [0, 3, 2]], np.uint32)
-    floor_normals = np.tile(np.array([[0, 1, 0]], np.float32), (6, 1))
+    floor_idx = np.array([[0, 2, 1], [0, 3, 2]], np.uint32)  # +y geometric n
+    floor_normals = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
     b.triangle_mesh(
         T.translate([-10.0, 0.0, -87.0]), floor_idx, floor_verts, plastic,
         normals=floor_normals,

@@ -104,3 +104,18 @@ def test_pallas_fused_mxu_kernel_agrees():
     np.testing.assert_array_equal(np.asarray(h), bh)
     np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(i)[bh], bi[bh])
+
+
+def test_morton_device_build_agrees():
+    # On-device Morton cluster build: different cut than SAH, identical
+    # traversal results (the sweep's exactness is cut-independent).
+    from trace_tpu.accel.morton import build_clusters_device
+
+    tris = _soup(400, seed=9)
+    o, d = _rays(256, seed=10)
+    t_max = jnp.full(256, jnp.inf)
+    bh, bt, bi = _brute(tris, o, d, t_max)
+    acc = build_clusters_device(tris, leaf_tris=16)
+    h, t, i = CL.traverse(acc, o, d, t_max, 8, False)
+    np.testing.assert_array_equal(np.asarray(h), bh)
+    np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)

@@ -84,3 +84,22 @@ def test_sppm_photon_sharding_bit_exact():
     np.testing.assert_array_equal(
         np.asarray(st_sh.radius), np.asarray(st_1.radius)
     )
+
+
+def test_sppm_full_spmd_runs():
+    # Camera + photon + pair passes all SPMD over the mesh.
+    from trace_tpu.models.spheres import build_scene, build_camera
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+    from trace_tpu.parallel.render import make_mesh
+
+    scene = build_scene()
+    cam = build_camera(resolution=12, filename="/tmp/_sppm_full_spmd.png")
+    mesh = make_mesh(jax.devices(), axis="px")
+    integ = SPPMIntegrator(
+        cam, initial_search_radius=0.2, max_depth=2, n_iterations=1,
+        photons_per_iteration=1024, seed=1, mesh=mesh, shard_axis="px",
+        shard_camera=True,
+    )
+    st = integ.render(scene)
+    img = np.asarray(integ.to_image(st, 1))
+    assert np.isfinite(img).all() and img.max() > 0.0

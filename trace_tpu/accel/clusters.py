@@ -101,13 +101,17 @@ def build_clusters(tris: tri_mod.Triangles, leaf_tris: int = 32,
             stack.append(node + 1)
 
     c = len(clusters)
-    c_lo = np.zeros((c, 3), np.float32)
-    c_hi = np.zeros((c, 3), np.float32)
-    tri_id = np.full((c, leaf_tris), -1, np.int32)
-    for i, (node, s, cnt) in enumerate(clusters):
-        c_lo[i] = lo[node]
-        c_hi[i] = hi[node]
-        tri_id[i, :cnt] = order[s:s + cnt]
+    nodes_arr = np.fromiter((cl[0] for cl in clusters), np.int64, c)
+    starts_arr = np.fromiter((cl[1] for cl in clusters), np.int64, c)
+    counts_arr = np.fromiter((cl[2] for cl in clusters), np.int64, c)
+    c_lo = lo[nodes_arr]
+    c_hi = hi[nodes_arr]
+    # tri_id[i, k] = order[start_i + k] where k < count_i, else -1
+    # (vectorized: the python per-cluster loop took ~30 s at 1M tris).
+    k_grid = np.arange(leaf_tris)[None, :]
+    in_range = k_grid < counts_arr[:, None]
+    src = np.minimum(starts_arr[:, None] + k_grid, len(order) - 1)
+    tri_id = np.where(in_range, order[src], -1).astype(np.int32)
 
     v0 = np.asarray(tris.v0)
     v1 = np.asarray(tris.v1)

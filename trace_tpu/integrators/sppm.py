@@ -133,10 +133,14 @@ class SPPMIntegrator:
                  photons_per_iteration: int = -1, write_frequency: int = 0,
                  pixel_chunk: int = 1 << 16, pair_chunk: int = 1 << 19,
                  seed: int = 0, stats=None, mesh=None,
-                 shard_axis: str = "photons"):
+                 shard_axis: str = "photons", shard_camera: bool = False):
         self.stats = stats
         self.mesh = mesh            # jax.sharding.Mesh -> SPMD photon/pair
         self.shard_axis = shard_axis
+        # Camera-pass sharding folds the device index into the PRNG keys,
+        # so it changes the (unbiased) sample stream vs a single device;
+        # photon/pair sharding stays bit-exact (Halton-keyed). Opt-in.
+        self.shard_camera = bool(shard_camera)
         self.camera = camera
         self.initial_search_radius = float(initial_search_radius)
         self.max_depth = int(max_depth)
@@ -158,8 +162,12 @@ class SPPMIntegrator:
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _camera_pass_chunk(self, scene, pixels, lane_valid, key):
+        return self._camera_pass_body(scene, pixels, lane_valid, key)
+
+    def _camera_pass_body(self, scene, pixels, lane_valid, key):
         """Vectorized visible-point generation (sppm.jl:175-270) for a
-        chunk of pixels. Returns (ld_add [C,3], VisiblePoints chunk)."""
+        chunk of pixels. Returns (ld_add [C,3], VisiblePoints chunk).
+        Pure (unjitted) so it can also run under shard_map."""
         c = pixels.shape[0]
         inv_sqrt_spp = np.float32(1.0 / np.sqrt(self.n_iterations))
         p_film, u_lens, u_time = get_camera_samples(
@@ -176,7 +184,6 @@ class SPPMIntegrator:
         active = lane_valid & (beta_w > 0)
         specular_bounce = jnp.zeros((c,), bool)
         ld = jnp.zeros((c, 3), F32)
-
         vp = VisiblePoints(
             p=jnp.zeros((c, 3), F32), wo=jnp.zeros((c, 3), F32),
             beta=jnp.zeros((c, 3), F32), valid=jnp.zeros((c,), bool),
@@ -257,7 +264,13 @@ class SPPMIntegrator:
             time = jnp.where(active, hit.time, time)
             return (o, d, time, beta, active, specular_bounce, ld, vp)
 
-        carry = (o, d, time, beta, active, specular_bounce, ld, vp)
+        # The whole carry goes through vary_like: several components
+        # (camera weight, shutter time, RNG draws) are shard-replicated
+        # constants that must still carry the varying axis under shard_map.
+        carry = common.vary_like(
+            (o, d, time, beta, active, specular_bounce, ld, vp),
+            rd.o[..., 0],
+        )
         carry = jax.lax.fori_loop(1, self.max_depth + 1, body, carry)
         _, _, _, _, _, _, ld, vp = carry
         return ld, vp
@@ -584,25 +597,42 @@ class SPPMIntegrator:
         chunk = min(self.pixel_chunk, n_pix)
         it_key = jax.random.fold_in(key, iteration)
 
-        # 1) Camera pass.
-        ld_parts, vp_parts = [], []
-        for ci, startp in enumerate(range(0, n_pix, chunk)):
-            part = pixels[startp:startp + chunk]
-            valid = np.ones(part.shape[0], bool)
-            if part.shape[0] < chunk:
-                pad = chunk - part.shape[0]
-                part = np.concatenate([part, np.zeros((pad, 2), np.int32)])
-                valid = np.concatenate([valid, np.zeros(pad, bool)])
-            ld_c, vp_c = self._camera_pass_chunk(
-                scene, jnp.asarray(part), jnp.asarray(valid),
-                jax.random.fold_in(it_key, ci),
+        # 1) Camera pass (chunked, or SPMD over the mesh when opted in).
+        if self.mesh is not None and self.shard_camera:
+            from ..parallel.sppm import camera_pass_sharded
+
+            ndev = self.mesh.devices.size
+            pad = (-n_pix) % ndev
+            part = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
+            valid = np.concatenate(
+                [np.ones(n_pix, bool), np.zeros(pad, bool)]
             )
-            ld_parts.append(ld_c)
-            vp_parts.append(vp_c)
-        ld_add = jnp.concatenate(ld_parts, axis=0)[:n_pix]
-        vp = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0)[:n_pix], *vp_parts
-        )
+            ld_add, vp = camera_pass_sharded(
+                self, scene, self.mesh, self.shard_axis,
+                jnp.asarray(part), jnp.asarray(valid), it_key,
+            )
+            ld_add = ld_add[:n_pix]
+            vp = jax.tree.map(lambda x: x[:n_pix], vp)
+        else:
+            ld_parts, vp_parts = [], []
+            for ci, startp in enumerate(range(0, n_pix, chunk)):
+                part = pixels[startp:startp + chunk]
+                valid = np.ones(part.shape[0], bool)
+                if part.shape[0] < chunk:
+                    pad = chunk - part.shape[0]
+                    part = np.concatenate(
+                        [part, np.zeros((pad, 2), np.int32)])
+                    valid = np.concatenate([valid, np.zeros(pad, bool)])
+                ld_c, vp_c = self._camera_pass_chunk(
+                    scene, jnp.asarray(part), jnp.asarray(valid),
+                    jax.random.fold_in(it_key, ci),
+                )
+                ld_parts.append(ld_c)
+                vp_parts.append(vp_c)
+            ld_add = jnp.concatenate(ld_parts, axis=0)[:n_pix]
+            vp = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0)[:n_pix], *vp_parts
+            )
 
         # 2) Grid.
         grid = self._build_grid(vp, state.radius)

@@ -82,3 +82,22 @@ def pair_pass_sharded(integ, mesh: Mesh, axis: str,
         vp, radius, sorted_vp,
     )
     return phi + dphi, m_cnt + dm
+
+
+def camera_pass_sharded(integ, scene, mesh: Mesh, axis: str,
+                        pixels, lane_valid, it_key):
+    """Shard the SPPM camera pass over the mesh pixel axis. Keys fold in
+    the device index, so the sample stream differs from (but is as
+    unbiased as) the single-device pass."""
+
+    def body(pix, valid, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        ld, vp = integ._camera_pass_body(scene, pix, valid, key)
+        return ld, vp
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+    )
+    return jax.jit(f)(pixels, lane_valid, it_key)

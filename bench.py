@@ -16,7 +16,6 @@ import time
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 RES = 256
 SPP = 4

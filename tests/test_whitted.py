@@ -99,3 +99,40 @@ def test_render_shadows_scene_small():
         cam, UniformSampler(1, seed=7), max_depth=3
     ).render(scene)
     np.testing.assert_array_equal(img, np.asarray(cam.film.to_image(state2)))
+
+
+def test_render_with_crop_window():
+    # Film crop windows (reference film.jl:34-61): render only a sub-crop.
+    from trace_tpu.film.film import Film
+    from trace_tpu.film.filters import LanczosSincFilter
+    from trace_tpu.camera.perspective import PerspectiveCamera
+    from trace_tpu.core import transform as T
+
+    film = Film((32, 32), crop=((0.25, 0.25), (0.75, 0.75)),
+                filter=LanczosSincFilter((1.0, 1.0), 3.0),
+                filename="/tmp/_crop.png")
+    assert film.width == 16 and film.height == 16
+    cam = PerspectiveCamera(
+        T.look_at([0.0, 15.0, 50.0], [0.0, 0.0, -2.0], [0.0, 1.0, 0.0]),
+        film=film,
+    )
+    scene = build_scene()
+    state = WhittedIntegrator(cam, UniformSampler(1, seed=0), max_depth=2).render(scene)
+    img = np.asarray(cam.film.to_image(state))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+
+
+def test_sppm_requires_lights():
+    from trace_tpu.scene import SceneBuilder
+    from trace_tpu.core import transform as T
+    from trace_tpu.materials.materials import MatteMaterial
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+
+    b = SceneBuilder()
+    mat = b.material(MatteMaterial())
+    b.sphere(T.identity(), 1.0, mat)
+    scene = b.build()
+    cam = build_camera(resolution=8, filename="/tmp/_nl.png")
+    with pytest.raises(ValueError, match="light"):
+        SPPMIntegrator(cam, n_iterations=1).render(scene)

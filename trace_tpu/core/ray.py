@@ -9,7 +9,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils.pytree import pytree, replace
-from . import math as m
 
 F32 = jnp.float32
 

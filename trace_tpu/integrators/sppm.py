@@ -567,6 +567,11 @@ class SPPMIntegrator:
         capability the reference lacks (its radius/tau/N state is never
         serialized, SURVEY.md §5)."""
         iters = n_iterations or self.n_iterations
+        if light_mod.num_lights(scene.lights) == 0:
+            raise ValueError(
+                "SPPM requires at least one light (the photon pass samples "
+                "the light power distribution, sppm.jl:564-569)"
+            )
         if state is None:
             state = initial_state(self.n_pixels, self.initial_search_radius)
         pixels = self._pixel_grid()

@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..core import math as m
 from ..core import transform as T
 
 F32 = jnp.float32

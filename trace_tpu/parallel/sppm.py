@@ -13,14 +13,11 @@ within an iteration, matching the reference's shared-memory reads).
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..integrators import common
 
 F32 = jnp.float32
 

@@ -17,7 +17,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .core import math as m
 from .core.interaction import SurfaceHit, empty_hit
 from .core.ray import SPAWN_EPS
 from .shapes import sphere as sph_mod

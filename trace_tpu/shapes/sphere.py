@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from ..utils.pytree import pytree
 from ..core import math as m
 from ..core import transform as T
-from ..core import bounds as B
 from ..core.interaction import make_surface_hit
 
 F32 = jnp.float32

@@ -8,11 +8,17 @@ closest-hit ray plus one any-hit shadow ray per light; the queue capacity
 equals the pixel-sample count. The reference publishes no numbers
 (BASELINE.md), so vs_baseline is reported against the driver's north-star
 target of 100 Mrays/s/chip.
+
+If the full render path fails on the bench host (e.g. a compile
+regression), falls back to raw MXU intersection throughput on the
+caustic-glass mesh so the driver always records a number; the fallback is
+flagged in the metric name.
 """
 from __future__ import annotations
 
 import json
 import time
+import traceback
 
 import numpy as np
 import jax
@@ -23,7 +29,7 @@ MAX_DEPTH = 5
 NORTH_STAR_MRAYS = 100.0
 
 
-def main():
+def bench_whitted():
     from trace_tpu.models.spheres import build_scene, build_camera
     from trace_tpu.integrators.whitted import WhittedIntegrator
     from trace_tpu.sampler.uniform import UniformSampler
@@ -35,8 +41,7 @@ def main():
         pixel_chunk=1 << 17,  # whole frame in one chunk -> spp dispatches
     )
 
-    # Warm-up (compile).
-    state = integ.render(scene)
+    state = integ.render(scene)  # warm-up (compile)
     jax.block_until_ready(state.xyz)
 
     runs = 3
@@ -49,16 +54,64 @@ def main():
     (x0, y0), (x1, y1) = camera.film.sample_bounds()
     n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
     n_lights = int(np.asarray(scene.lights.kind).shape[0])
-    rays_per_level = n_pixels * SPP * (1 + n_lights)
-    total_rays = rays_per_level * MAX_DEPTH
+    total_rays = n_pixels * SPP * (1 + n_lights) * MAX_DEPTH
     mrays = total_rays / dt / 1e6
-
-    print(json.dumps({
+    return {
         "metric": "whitted_shadows_256_mrays_per_sec",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
-    }))
+    }
+
+
+def bench_fallback_intersect():
+    import jax.numpy as jnp
+    from trace_tpu.models.caustic_glass import build_scene
+    from trace_tpu.accel.mxu import MXUAccelerator, build_consts
+
+    scene = build_scene()
+    acc = MXUAccelerator(build_consts(scene.triangles), scene.n_triangles,
+                         tri_chunk=4096)
+    rng = np.random.default_rng(0)
+    n = 65536
+    o = jnp.asarray(
+        np.array([1.2, 3.0, -98.0], np.float32)
+        + rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    )
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    tm = jnp.full((n,), jnp.inf)
+    f = jax.jit(lambda o, d, tm: acc._sweep(o, d, tm, False)[1])
+    jax.block_until_ready(f(o, d, tm))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(o, d, tm))
+    dt = time.perf_counter() - t0
+    mrays = n / dt / 1e6
+    return {
+        "metric": "FALLBACK_mxu_intersect_88k_mrays_per_sec",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+    }
+
+
+def main():
+    try:
+        out = bench_whitted()
+    except Exception:
+        traceback.print_exc()
+        try:
+            out = bench_fallback_intersect()
+        except Exception:
+            traceback.print_exc()
+            out = {
+                "metric": "bench_failed",
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+            }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -159,3 +159,48 @@ def test_sppm_checkpoint_resume_bit_exact():
     np.testing.assert_array_equal(np.asarray(full.ld), np.asarray(resumed.ld))
     np.testing.assert_array_equal(
         np.asarray(full.radius), np.asarray(resumed.radius))
+
+
+def test_sppm_matches_path_tracer_order_of_magnitude():
+    """Physics cross-check: in a closed diffuse box, SPPM's progressive
+    estimate must land near the path-traced solution. The density-
+    estimation kernel (initial radius 0.25 in a 2-unit box) carries
+    corner bias, so bounds are generous — this catches normalization /
+    estimator regressions (factor-of-pi, Np scaling, beta handling), not
+    noise."""
+    from trace_tpu.scene import SceneBuilder
+    from trace_tpu.core import transform as T
+    from trace_tpu.materials.materials import MatteMaterial
+    from trace_tpu.lights.lights import point_light
+    from trace_tpu.models.cornell import _quad
+    from trace_tpu.integrators.path import PathIntegrator
+    from trace_tpu.film.film import Film
+    from trace_tpu.film.filters import LanczosSincFilter
+    from trace_tpu.camera.perspective import PerspectiveCamera
+    from trace_tpu.sampler.uniform import UniformSampler
+
+    b = SceneBuilder()
+    white = b.material(MatteMaterial(Kd=(0.7, 0.7, 0.7)))
+    _quad(b, [[-1, -1, 1], [1, -1, 1], [1, -1, -1], [-1, -1, -1]], white)
+    _quad(b, [[-1, 1, -1], [1, 1, -1], [1, 1, 1], [-1, 1, 1]], white)
+    _quad(b, [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1]], white)
+    _quad(b, [[-1, -1, 1], [-1, -1, -1], [-1, 1, -1], [-1, 1, 1]], white)
+    _quad(b, [[1, -1, -1], [1, -1, 1], [1, 1, 1], [1, 1, -1]], white)
+    b.light(point_light(T.translate([0.0, 0.5, 0.0]), (5.0, 5.0, 5.0)))
+    scene = b.build(use_bvh=False)
+
+    film = Film((12, 12), filter=LanczosSincFilter((1.0, 1.0), 3.0),
+                filename="/tmp/_box12.png")
+    cam = PerspectiveCamera(
+        T.look_at([0.0, 0.0, 140.0], [0.0, -2.8, 0.0], [0, 1, 0]), film=film
+    )
+    pt = PathIntegrator(cam, UniformSampler(24, seed=0), max_depth=8,
+                        rr_depth=5)
+    mean_pt = float(np.asarray(cam.film.to_image(pt.render(scene))).mean())
+
+    sp = SPPMIntegrator(cam, initial_search_radius=0.25, max_depth=8,
+                        n_iterations=8, photons_per_iteration=8192, seed=0)
+    st = sp.render(scene)
+    mean_sp = float(np.asarray(sp.to_image(st, 8)).mean())
+    ratio = mean_sp / mean_pt
+    assert 0.6 < ratio < 1.7, (mean_sp, mean_pt, ratio)

@@ -119,3 +119,24 @@ def test_morton_device_build_agrees():
     h, t, i = CL.traverse(acc, o, d, t_max, 8, False)
     np.testing.assert_array_equal(np.asarray(h), bh)
     np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)
+
+
+def test_cluster_refit_matches_rebuild():
+    # Move the geometry; refit (fixed block topology) must give identical
+    # traversal results to the SAH-rebuilt accelerator.
+    from trace_tpu.accel.clusters import refit_clusters
+
+    tris = _soup(300, seed=12)
+    acc = CL.build_clusters(tris, leaf_tris=16)
+    shift = jnp.asarray([1.0, -0.5, 2.0])
+    v0, v1, v2 = tris.v0 + shift, tris.v1 + shift, tris.v2 + shift
+    refit = refit_clusters(acc, v0, v1, v2)
+
+    import dataclasses
+    moved = dataclasses.replace(tris, v0=v0, v1=v1, v2=v2)
+    o, d = _rays(200, seed=13)
+    t_max = jnp.full(200, jnp.inf)
+    bh, bt, bi = _brute(moved, o, d, t_max)
+    h, t, i = CL.traverse(refit, o, d, t_max, 8, False)
+    np.testing.assert_array_equal(np.asarray(h), bh)
+    np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)

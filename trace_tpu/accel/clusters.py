@@ -158,6 +158,49 @@ def build_clusters(tris: tri_mod.Triangles, leaf_tris: int = 32,
     )
 
 
+@jax.jit
+def refit_clusters(accel: ClusterAccel, v0, v1, v2) -> ClusterAccel:
+    """Refresh cluster bounds + packed blocks for moved vertices with
+    fixed topology (the cluster analog of BVH refit, BASELINE config 5).
+    Fully on device; tri_id block assignment is reused."""
+    l = accel.leaf_tris
+    c = accel.tri_id.shape[0]
+    tid = accel.tri_id[:, :l]
+    safe = jnp.maximum(tid, 0)
+    mask = (tid >= 0)[..., None]
+    b0 = jnp.where(mask, v0[safe], 0.0)
+    b1 = jnp.where(mask, v1[safe], 0.0)
+    b2 = jnp.where(mask, v2[safe], 0.0)
+    big = jnp.float32(3e38)
+    lo_b = jnp.min(jnp.where(mask, jnp.minimum(jnp.minimum(b0, b1), b2), big),
+                   axis=1)
+    hi_b = jnp.max(jnp.where(mask, jnp.maximum(jnp.maximum(b0, b1), b2), -big),
+                   axis=1)
+    seg = l * 3
+    packed = jnp.concatenate(
+        [b0.reshape(c, seg), b1.reshape(c, seg), b2.reshape(c, seg)], axis=1
+    )
+    packed = jnp.pad(packed, ((0, 0), (0, accel.packed.shape[1] - 3 * seg)))
+    e1 = b1 - b0
+    e2 = b2 - b0
+    nrm = jnp.cross(e1, e2)
+    w = jnp.cross(e2, b0)
+    q = jnp.cross(b0, e1)
+    v0n = jnp.einsum("clj,clj->cl", b0, nrm)
+    flat = lambda x: jnp.swapaxes(x, 1, 2).reshape(c, seg)
+    packed_mt = jnp.concatenate(
+        [flat(nrm), flat(e1), flat(e2), flat(w), flat(q), v0n], axis=1
+    )
+    packed_mt = jnp.pad(
+        packed_mt, ((0, 0), (0, accel.packed_mt.shape[1] - packed_mt.shape[1]))
+    )
+    import dataclasses
+
+    return dataclasses.replace(
+        accel, c_lo=lo_b, c_hi=hi_b, packed=packed, packed_mt=packed_mt
+    )
+
+
 def _cluster_entry(accel: ClusterAccel, o, d, t_max):
     """Slab entry distance per (ray, cluster): [N, C], inf on miss."""
     inv_d = 1.0 / d

@@ -74,11 +74,11 @@ def render_animation(
     for i, shift in enumerate(frames, start=1):
         scene = set_frame_lights(scene, float(shift))
         if refit_each_frame and scene.accel is not None:
-            from ..accel.bvh import refit_bvh
-            from ..shapes.triangle import world_bounds_np
+            from ..accel.clusters import refit_clusters
 
-            scene.accel.bvh = refit_bvh(
-                scene.accel.bvh, world_bounds_np(scene.triangles)
+            scene.accel.clusters = refit_clusters(
+                scene.accel.clusters,
+                scene.triangles.v0, scene.triangles.v1, scene.triangles.v2,
             )
         camera = build_camera(resolution, out_pattern.format(i=i))
         integ = SPPMIntegrator(

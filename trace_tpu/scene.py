@@ -6,8 +6,10 @@ intersect!/intersect_p, spawn_ray) plus the primitive layer
 scene packs all spheres and all triangles into two SoA tables; intersection
 is a batched closest-hit reduction over primitive chunks (the wavefront
 "cheap phase"), with full SurfaceHit frames built only for each ray's
-winning primitive. A BVH accelerator can be attached to cull the candidate
-set (see trace_tpu.accel.bvh).
+winning primitive. An accelerator culls the candidate set — the default
+is the MXU cluster sweep (trace_tpu.accel.clusters, auto-attached for
+>64 triangles); accel.mxu / accel.morton / ops.intersect_pallas provide
+alternatives with the same interface.
 
 Primitive ids are global: spheres occupy [0, S), triangles [S, S+T).
 """
@@ -130,7 +132,7 @@ class Scene:
         self.chunk_size = int(chunk_size)
         self.n_spheres = sph_mod.num_spheres(spheres)
         self.n_triangles = tri_mod.num_triangles(triangles)
-        self.accel = None  # optional BVH, attached by accel.bvh.attach
+        self.accel = None  # optional accelerator (accel/*.attach)
 
         # World bound + bounding sphere; preprocess lights with it
         # (the reference forgets: Trace.jl:184 TODO).

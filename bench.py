@@ -70,7 +70,7 @@ def bench_fallback_intersect():
     from trace_tpu.accel.mxu import MXUAccelerator, build_consts
 
     scene = build_scene()
-    acc = MXUAccelerator(build_consts(scene.triangles), scene.n_triangles,
+    acc = MXUAccelerator(build_consts(scene.triangles_host), scene.n_triangles,
                          tri_chunk=4096)
     rng = np.random.default_rng(0)
     n = 65536

@@ -81,10 +81,10 @@ def _build_bvh_native(bounds: np.ndarray, max_prims_per_leaf: int):
     if n_nodes < 0:
         return None
     return LinearBVH(
-        jnp.asarray(n_lo[:n_nodes]), jnp.asarray(n_hi[:n_nodes]),
-        jnp.asarray(right[:n_nodes]), jnp.asarray(start[:n_nodes]),
-        jnp.asarray(count[:n_nodes]), jnp.asarray(axis[:n_nodes]),
-        jnp.asarray(order),
+        n_lo[:n_nodes], n_hi[:n_nodes],
+        right[:n_nodes], start[:n_nodes],
+        count[:n_nodes], axis[:n_nodes],
+        order,
     )
 
 
@@ -194,10 +194,10 @@ def _build_bvh_numpy(bounds: np.ndarray, max_prims_per_leaf: int = 4) -> LinearB
         stack.append((start, mid, node, False))
 
     return LinearBVH(
-        jnp.asarray(n_lo[:n_nodes]), jnp.asarray(n_hi[:n_nodes]),
-        jnp.asarray(n_right[:n_nodes]), jnp.asarray(n_start[:n_nodes]),
-        jnp.asarray(n_count[:n_nodes]), jnp.asarray(n_axis[:n_nodes]),
-        jnp.asarray(order),
+        n_lo[:n_nodes], n_hi[:n_nodes],
+        n_right[:n_nodes], n_start[:n_nodes],
+        n_count[:n_nodes], n_axis[:n_nodes],
+        order,
     )
 
 
@@ -276,6 +276,10 @@ def _traverse_one(bvh: LinearBVH, tris, o, d, t_max, max_leaf: int,
                   any_hit: bool):
     """Closest-hit (or early-out any-hit) traversal for ONE ray
     (bvh.jl:212-299). vmapped over the ray batch by the callers."""
+    # Leaves may be host numpy (scene build keeps geometry on host);
+    # promote so traced-index gathers below work.
+    tris = jax.tree.map(jnp.asarray, tris)
+    bvh = jax.tree.map(jnp.asarray, bvh)
     inv_d = 1.0 / d
     neg = (inv_d < 0.0).astype(jnp.int32)  # per-axis direction sign
 
@@ -357,9 +361,10 @@ class BVHAccelerator:
         else:
             hs = no_hit
         if scene.n_triangles:
+            tris = jax.tree.map(jnp.asarray, scene.triangles)
             ht = jax.vmap(
                 lambda oo, dd, tt: _traverse_one(
-                    self.bvh, scene.triangles, oo, dd, tt,
+                    self.bvh, tris, oo, dd, tt,
                     self.max_leaf, any_hit=False,
                 )
             )(o, d, t_max)
@@ -373,9 +378,10 @@ class BVHAccelerator:
         if scene.n_spheres:
             occ = occ | sph_mod.intersect_p(scene.spheres, o, d, t_max)
         if scene.n_triangles:
+            tris = jax.tree.map(jnp.asarray, scene.triangles)
             h, t, _ = jax.vmap(
                 lambda oo, dd, tt: _traverse_one(
-                    self.bvh, scene.triangles, oo, dd, tt,
+                    self.bvh, tris, oo, dd, tt,
                     self.max_leaf, any_hit=True,
                 )
             )(o, d, t_max)
@@ -387,7 +393,8 @@ def attach(scene, max_prims_per_leaf: int = 4):
     """Build a triangle BVH for the scene and install it."""
     if scene.n_triangles == 0:
         return scene
-    bounds = tri_mod.world_bounds_np(scene.triangles)
+    bounds = tri_mod.world_bounds_np(
+        getattr(scene, "triangles_host", scene.triangles))
     bvh = build_bvh(bounds, max_prims_per_leaf)
     scene.accel = BVHAccelerator(bvh, max_prims_per_leaf)
     return scene

@@ -151,47 +151,51 @@ def build_clusters(tris: tri_mod.Triangles, leaf_tris: int = 32,
     ).astype(np.float32)
     mt_pad = (-packed_mt.shape[1]) % 128
     packed_mt = np.pad(packed_mt, ((0, 0), (0, mt_pad)))
+    # Host (numpy) leaves: traversal jits close over the accel and XLA
+    # embeds host arrays for free; device leaves would d2h at trace time
+    # (relay poison — see Scene.__init__).
     return ClusterAccel(
-        jnp.asarray(c_lo), jnp.asarray(c_hi),
-        jnp.asarray(packed), jnp.asarray(packed_mt),
-        jnp.asarray(tri_id), leaf_tris,
+        np.ascontiguousarray(c_lo), np.ascontiguousarray(c_hi),
+        packed, packed_mt, tri_id, leaf_tris,
     )
 
 
-@jax.jit
 def refit_clusters(accel: ClusterAccel, v0, v1, v2) -> ClusterAccel:
     """Refresh cluster bounds + packed blocks for moved vertices with
     fixed topology (the cluster analog of BVH refit, BASELINE config 5).
-    Fully on device; tri_id block assignment is reused."""
+    Host-side numpy, once per frame: the refit result is closed over by
+    the frame's render jits, and host leaves embed without the d2h a
+    device-resident refit would force at trace time."""
     l = accel.leaf_tris
     c = accel.tri_id.shape[0]
-    tid = accel.tri_id[:, :l]
-    safe = jnp.maximum(tid, 0)
+    v0, v1, v2 = np.asarray(v0), np.asarray(v1), np.asarray(v2)
+    tid = np.asarray(accel.tri_id[:, :l])
+    safe = np.maximum(tid, 0)
     mask = (tid >= 0)[..., None]
-    b0 = jnp.where(mask, v0[safe], 0.0)
-    b1 = jnp.where(mask, v1[safe], 0.0)
-    b2 = jnp.where(mask, v2[safe], 0.0)
-    big = jnp.float32(3e38)
-    lo_b = jnp.min(jnp.where(mask, jnp.minimum(jnp.minimum(b0, b1), b2), big),
-                   axis=1)
-    hi_b = jnp.max(jnp.where(mask, jnp.maximum(jnp.maximum(b0, b1), b2), -big),
-                   axis=1)
+    b0 = np.where(mask, v0[safe], 0.0).astype(np.float32)
+    b1 = np.where(mask, v1[safe], 0.0).astype(np.float32)
+    b2 = np.where(mask, v2[safe], 0.0).astype(np.float32)
+    big = np.float32(3e38)
+    lo_b = np.min(np.where(mask, np.minimum(np.minimum(b0, b1), b2), big),
+                  axis=1)
+    hi_b = np.max(np.where(mask, np.maximum(np.maximum(b0, b1), b2), -big),
+                  axis=1)
     seg = l * 3
-    packed = jnp.concatenate(
+    packed = np.concatenate(
         [b0.reshape(c, seg), b1.reshape(c, seg), b2.reshape(c, seg)], axis=1
     )
-    packed = jnp.pad(packed, ((0, 0), (0, accel.packed.shape[1] - 3 * seg)))
+    packed = np.pad(packed, ((0, 0), (0, accel.packed.shape[1] - 3 * seg)))
     e1 = b1 - b0
     e2 = b2 - b0
-    nrm = jnp.cross(e1, e2)
-    w = jnp.cross(e2, b0)
-    q = jnp.cross(b0, e1)
-    v0n = jnp.einsum("clj,clj->cl", b0, nrm)
-    flat = lambda x: jnp.swapaxes(x, 1, 2).reshape(c, seg)
-    packed_mt = jnp.concatenate(
+    nrm = np.cross(e1, e2)
+    w = np.cross(e2, b0)
+    q = np.cross(b0, e1)
+    v0n = np.einsum("clj,clj->cl", b0, nrm)
+    flat = lambda x: x.transpose(0, 2, 1).reshape(c, seg)
+    packed_mt = np.concatenate(
         [flat(nrm), flat(e1), flat(e2), flat(w), flat(q), v0n], axis=1
-    )
-    packed_mt = jnp.pad(
+    ).astype(np.float32)
+    packed_mt = np.pad(
         packed_mt, ((0, 0), (0, accel.packed_mt.shape[1] - packed_mt.shape[1]))
     )
     import dataclasses
@@ -238,7 +242,7 @@ def _test_stage(accel: ClusterAccel, stage, h, perm, o, d, limit):
     )
     t = jnp.where(hit & (tid[None, :] >= 0), t, jnp.inf)
     j = jnp.argmin(t, axis=-1)
-    best_t = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+    best_t = jnp.min(t, axis=-1)  # == t[j], no gather
     best_i = tid[j]
     return best_t, best_i
 
@@ -279,7 +283,7 @@ def _test_stage_mt(accel: ClusterAccel, stage, h, perm, o, d, m, limit):
     )
     t = jnp.where(hit, t, jnp.inf)
     j = jnp.argmin(t, axis=-1)
-    best_t = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+    best_t = jnp.min(t, axis=-1)  # == t[j], no gather
     best_i = tid[j]
     return best_t, best_i
 
@@ -303,6 +307,8 @@ def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
     n = o.shape[0]
     c = accel.c_lo.shape[0]
     h = min(stage_clusters, c)
+    # np (host) leaves -> jnp so the traced row gathers below work.
+    accel = jax.tree.map(jnp.asarray, accel)
     entry = _cluster_entry(accel, o, d, t_max)           # [N, C]
 
     # Global demand order (one small sort) + per-lane suffix minima.
@@ -410,6 +416,7 @@ def attach(scene, leaf_tris: int = 32, stage_clusters: int = 64,
     """Build the cluster accelerator for the scene and install it."""
     if scene.n_triangles == 0:
         return scene
-    accel = build_clusters(scene.triangles, leaf_tris, max_prims_per_leaf)
+    tris = getattr(scene, "triangles_host", scene.triangles)
+    accel = build_clusters(tris, leaf_tris, max_prims_per_leaf)
     scene.accel = ClusterAccelerator(accel, stage_clusters, ray_chunk)
     return scene

@@ -124,6 +124,7 @@ def attach(scene, leaf_tris: int = 32, stage_clusters: int = 64,
         return scene
     from .clusters import ClusterAccelerator
 
-    accel = build_clusters_device(scene.triangles, leaf_tris)
+    accel = build_clusters_device(
+        getattr(scene, "triangles_host", scene.triangles), leaf_tris)
     scene.accel = ClusterAccelerator(accel, stage_clusters, ray_chunk)
     return scene

@@ -59,10 +59,11 @@ def build_consts(tris: tri_mod.Triangles) -> TriMatmulConsts:
     q = np.cross(v0, e1)
     v0n = np.einsum("ij,ij->i", v0, n)
     degen = (n * n).sum(-1) < 1e-16
-    f = lambda x: jnp.asarray(np.ascontiguousarray(x.T), F32)
+    # Host (numpy) leaves: device consts d2h at jit trace (relay poison).
+    f = lambda x: np.ascontiguousarray(x.T, dtype=np.float32)
     return TriMatmulConsts(
         f(n), f(e1), f(e2), f(w), f(q),
-        jnp.asarray(v0n, F32), jnp.asarray(degen),
+        np.asarray(v0n, np.float32), np.asarray(degen),
     )
 
 
@@ -125,7 +126,7 @@ class MXUAccelerator:
             hit, t = intersect_grid(part, o, d, t_max)
             t = jnp.where(hit, t, jnp.inf)
             li = jnp.argmin(t, axis=-1)
-            lt = jnp.take_along_axis(t, li[:, None], axis=-1)[:, 0]
+            lt = jnp.min(t, axis=-1)  # == t[li], no gather
             better = lt < best_t
             best_t = jnp.where(better, lt, best_t)
             best_i = jnp.where(better, li.astype(jnp.int32) + s, best_i)
@@ -160,6 +161,6 @@ class MXUAccelerator:
 def attach(scene, tri_chunk: int = 8192):
     if scene.n_triangles == 0:
         return scene
-    consts = build_consts(scene.triangles)
+    consts = build_consts(getattr(scene, "triangles_host", scene.triangles))
     scene.accel = MXUAccelerator(consts, scene.n_triangles, tri_chunk)
     return scene

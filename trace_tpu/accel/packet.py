@@ -75,7 +75,7 @@ def _build_cluster_tree(accel: ClusterAccel):
     nodes_i[0, :m] = is_leaf.astype(np.int32)
     nodes_i[1, :m] = payload
     nodes_i[2, :m] = axis
-    return jnp.asarray(nodes_f), jnp.asarray(nodes_i)
+    return np.asarray(nodes_f), np.asarray(nodes_i)
 
 
 def _packet_kernel(leaf_tris, any_hit,
@@ -318,7 +318,8 @@ def attach(scene, leaf_tris: int = 32, max_prims_per_leaf: int = 4,
     when the scene exceeds the VMEM budget)."""
     if scene.n_triangles == 0:
         return scene
-    accel = build_clusters(scene.triangles, leaf_tris, max_prims_per_leaf)
+    tris = getattr(scene, "triangles_host", scene.triangles)
+    accel = build_clusters(tris, leaf_tris, max_prims_per_leaf)
     data_bytes = accel.packed.size * 4 + accel.tri_id.size * 4
     if data_bytes > VMEM_BUDGET_BYTES:
         from .clusters import ClusterAccelerator

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..core import math as m
@@ -56,7 +57,7 @@ KIND_FLAGS = {
     MICROFACET_REFLECTION: BSDF_REFLECTION | BSDF_GLOSSY,
     MICROFACET_TRANSMISSION: BSDF_TRANSMISSION | BSDF_GLOSSY,
 }
-_FLAG_TABLE = jnp.asarray(
+_FLAG_TABLE = np.asarray(
     [KIND_FLAGS[k] for k in range(len(KIND_FLAGS))], jnp.int32
 )
 
@@ -83,7 +84,9 @@ class LobeParams(NamedTuple):
 
 
 def lobe_flags(kind):
-    return _FLAG_TABLE[kind]
+    # asarray inside the trace: _FLAG_TABLE stays host numpy at module
+    # scope (device consts d2h at trace — relay poison).
+    return jnp.asarray(_FLAG_TABLE)[kind]
 
 
 def matches_flags(kind, type_flags):

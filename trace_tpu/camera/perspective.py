@@ -58,17 +58,20 @@ class PerspectiveCamera:
         )
 
         # Precomputed per-pixel camera-space shifts and lens-plane area
-        # (perspective.jl:58-81).
-        p_min = T.apply_point(self.raster_to_camera, jnp.zeros(3, F32))
-        p_max = T.apply_point(
-            self.raster_to_camera, jnp.asarray([rx, ry, 0.0], F32)
-        )
-        self.dx_camera = T.apply_point(
-            self.raster_to_camera, jnp.asarray([1.0, 0, 0], F32)
-        ) - p_min
-        self.dy_camera = T.apply_point(
-            self.raster_to_camera, jnp.asarray([0.0, 1, 0], F32)
-        ) - p_min
+        # (perspective.jl:58-81). Host-side numpy: doing this on device and
+        # reading scalars back would d2h at construction time, permanently
+        # degrading the TPU relay's dispatch latency.
+        r2c = np.asarray(self.raster_to_camera.m, np.float32)
+
+        def apply_np(p):
+            r = r2c[:3, :3] @ p + r2c[:3, 3]
+            w = r2c[3, :3] @ p + r2c[3, 3]
+            return r if w == 1.0 else r / w
+
+        p_min = apply_np(np.zeros(3, np.float32))
+        p_max = apply_np(np.array([rx, ry, 0.0], np.float32))
+        self.dx_camera = apply_np(np.array([1.0, 0, 0], np.float32)) - p_min
+        self.dy_camera = apply_np(np.array([0.0, 1, 0], np.float32)) - p_min
         pm = p_min[:2] / p_min[2] - p_max[:2] / p_max[2]
         self.A = float(abs(pm[0] * pm[1]))
 

@@ -130,7 +130,11 @@ def compute_differentials(hit: SurfaceHit, rd) -> SurfaceHit:
     d1 = jnp.where(use_yz | use_xz, 2, 1)
 
     def pick(v, i):
-        return jnp.take_along_axis(v, i[..., None], axis=-1)[..., 0]
+        # Arithmetic 3-way select: take_along_axis along the 3-wide
+        # component axis is a per-lane gather, 5-10x slower on TPU.
+        return jnp.where(
+            i == 0, v[..., 0], jnp.where(i == 1, v[..., 1], v[..., 2])
+        )
 
     a00 = pick(hit.dpdu, d0)
     a01 = pick(hit.dpdv, d0)

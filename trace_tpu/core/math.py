@@ -8,18 +8,22 @@ with a trailing dimension of 3 and functions broadcast over leading dims.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 F32 = jnp.float32
-PI = F32(3.1415926535897932)
-INV_PI = F32(1.0 / 3.1415926535897932)
-INF = F32(jnp.inf)
+# Host (numpy) scalars: module-level DEVICE constants get read back
+# (d2h) when jit embeds them at trace time, which permanently degrades
+# the TPU relay's dispatch latency. numpy scalars embed for free.
+PI = np.float32(3.1415926535897932)
+INV_PI = np.float32(1.0 / 3.1415926535897932)
+INF = np.float32(np.inf)
 
 # The reference zero-snaps near-zero quantities with Julia's `isapprox`
 # (x ≈ 0 ⇔ |x| ≤ sqrt(eps(Float32)) relative... for comparison against the
 # literal 0 Julia uses absolute tolerance 0). We use a small epsilon where the
 # reference relies on `≈ 0` against floats to avoid division blow-ups.
-EPS = F32(1e-8)
+EPS = np.float32(1e-8)
 
 
 def dot(a, b):

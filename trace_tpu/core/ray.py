@@ -6,6 +6,7 @@ wavefront integrators carry and rebuild these functionally each bounce.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..utils.pytree import pytree, replace
@@ -87,7 +88,7 @@ def scale_differentials(rd: RayDifferentials, s) -> RayDifferentials:
     )
 
 
-SPAWN_EPS = F32(1e-6)
+SPAWN_EPS = np.float32(1e-6)  # host scalar: device consts d2h at trace
 
 
 def spawn_ray(p, direction, time, delta=SPAWN_EPS) -> Rays:

@@ -6,11 +6,12 @@ conversions and small predicates the integrators use.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 # Row-vector convention: xyz = rgb @ RGB_TO_XYZ_M.T (same coefficients as
 # reference spectrum.jl:1-14).
-XYZ_TO_RGB_M = jnp.array(
+XYZ_TO_RGB_M = np.array(
     [
         [3.240479, -1.537150, -0.498535],
         [-0.969256, 1.875991, 0.041556],
@@ -18,7 +19,7 @@ XYZ_TO_RGB_M = jnp.array(
     ],
     dtype=jnp.float32,
 )
-RGB_TO_XYZ_M = jnp.array(
+RGB_TO_XYZ_M = np.array(
     [
         [0.412453, 0.357580, 0.180423],
         [0.212671, 0.715160, 0.072169],

@@ -26,13 +26,16 @@ class Transform:
 
 
 def identity() -> Transform:
-    i = jnp.eye(4, dtype=F32)
+    # Constructors build host (numpy) matrices: transforms are scene-build
+    # data, and reading device arrays back mid-build (np.asarray on a jnp
+    # array) permanently degrades the TPU relay's dispatch latency.
+    i = np.eye(4, dtype=np.float32)
     return Transform(i, i)
 
 
 def from_matrix(mat) -> Transform:
-    mat = jnp.asarray(mat, F32)
-    return Transform(mat, jnp.linalg.inv(mat))
+    mat = np.asarray(mat, np.float32)
+    return Transform(mat, np.linalg.inv(mat).astype(np.float32))
 
 
 def inverse(t: Transform) -> Transform:
@@ -50,19 +53,19 @@ def translate(delta) -> Transform:
     mat[:3, 3] = d
     inv = np.eye(4, dtype=np.float32)
     inv[:3, 3] = -d
-    return Transform(jnp.asarray(mat), jnp.asarray(inv))
+    return Transform(mat, inv)
 
 
 def scale(x, y, z) -> Transform:
     mat = np.diag(np.array([x, y, z, 1.0], np.float32))
     inv = np.diag(np.array([1.0 / x, 1.0 / y, 1.0 / z, 1.0], np.float32))
-    return Transform(jnp.asarray(mat), jnp.asarray(inv))
+    return Transform(mat, inv)
 
 
 def _rot(mat3: np.ndarray) -> Transform:
     mat = np.eye(4, dtype=np.float32)
     mat[:3, :3] = mat3
-    return Transform(jnp.asarray(mat), jnp.asarray(mat.T))
+    return Transform(mat, mat.T.copy())
 
 
 def rotate_x(deg: float) -> Transform:
@@ -122,7 +125,7 @@ def look_at(position, target, up) -> Transform:
     rot[:3, 0] = x_axis
     rot[:3, 1] = y_axis
     rot[:3, 2] = z_axis
-    return compose(translate(position), Transform(jnp.asarray(rot), jnp.asarray(rot.T)))
+    return compose(translate(position), Transform(rot, rot.T.copy()))
 
 
 def perspective(fov: float, near: float, far: float) -> Transform:

@@ -72,16 +72,10 @@ class Film:
         self.width = self.crop_max[0] - self.crop_min[0] + 1
         self.height = self.crop_max[1] - self.crop_min[1] + 1
 
-        # Precompute the filter table (film.jl:52-56).
+        # The reference precomputes a 16x16 filter table (film.jl:52-56);
+        # add_samples instead evaluates the filter at the same quantized
+        # points inline (identical values, no gather — see there).
         fr = self.filter.radius
-        step = (fr[0] / FILTER_TABLE_WIDTH, fr[1] / FILTER_TABLE_WIDTH)
-        ys, xs = np.meshgrid(
-            (np.arange(FILTER_TABLE_WIDTH) + 0.5) * step[1],
-            (np.arange(FILTER_TABLE_WIDTH) + 0.5) * step[0],
-            indexing="ij",
-        )
-        pts = jnp.asarray(np.stack([xs, ys], axis=-1), F32)
-        self.filter_table = jnp.asarray(self.filter(pts), F32)  # [y, x]
         # Static per-axis footprint width: the reference loops
         # ceil(d-r)..floor(d+r)+1 inclusive, at most floor(2r)+2 pixels.
         self.fp_x = int(math.floor(2 * fr[0])) + 2
@@ -149,7 +143,27 @@ class Film:
         off_x = jnp.clip(jnp.ceil(fx), 1, FILTER_TABLE_WIDTH).astype(jnp.int32) - 1
         off_y = jnp.clip(jnp.floor(fy), 1, FILTER_TABLE_WIDTH).astype(jnp.int32) - 1
 
-        w = self.filter_table[off_y[:, :, None], off_x[:, None, :]]  # [N, fy, fx]
+        # Evaluate the filter directly at the quantized table points
+        # instead of gathering from the 16x16 table: identical values
+        # (the table itself is filter((i+0.5)*r/W)), but a fused VPU
+        # expression instead of a per-lane 2D gather (2x faster measured,
+        # and it keeps the whole splat in one XLA fusion).
+        step_x = r[0] / FILTER_TABLE_WIDTH
+        step_y = r[1] / FILTER_TABLE_WIDTH
+        pts = jnp.stack(
+            [
+                jnp.broadcast_to(
+                    (off_x.astype(F32) + 0.5)[:, None, :] * step_x,
+                    (off_x.shape[0], self.fp_y, self.fp_x),
+                ),
+                jnp.broadcast_to(
+                    (off_y.astype(F32) + 0.5)[:, :, None] * step_y,
+                    (off_y.shape[0], self.fp_y, self.fp_x),
+                ),
+            ],
+            axis=-1,
+        )
+        w = self.filter(pts)                                  # [N, fy, fx]
         mask = (in_y[:, :, None] & in_x[:, None, :]).astype(F32)
         w = w * mask
 

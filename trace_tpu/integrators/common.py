@@ -68,7 +68,7 @@ def estimate_direct(scene, hit, lobes, light_idx, u_light, u_scatter,
     scatter_pdf = B.compute_pdf(lobes, hit.wo, wi, flags)
     ok = (light_pdf > 0) & ~spec.is_black(radiance) & ~spec.is_black(f_val) & hit.valid
     vis = scene.unoccluded(hit.p, p_light) & ok
-    delta = light_mod.is_delta(scene.lights)[light_idx]
+    delta = jnp.asarray(light_mod.is_delta(scene.lights))[light_idx]
     w_l = jnp.where(
         delta, 1.0, m.power_heuristic(1.0, light_pdf, 1.0, scatter_pdf)
     )
@@ -92,7 +92,7 @@ def estimate_direct(scene, hit, lobes, light_idx, u_light, u_scatter,
         hits_light = (
             hit2.valid
             & (hit2.prim_id >= scene.n_spheres)
-            & (scene.tri_light_id[tri_idx] == light_idx)
+            & (jnp.asarray(scene.tri_light_id)[tri_idx] == light_idx)
         )
         cos_l = m.dot(hit2.n, -bs.wi)
         li_pdf = light_mod.pdf_li(

@@ -112,7 +112,7 @@ def pack_lights(entries, tris: tri_mod.Triangles | None = None) -> Lights:
 
     tri_areas = None
     if tris is not None and tri_mod.num_triangles(tris) > 0:
-        tri_areas = np.asarray(tri_mod.areas(tris))
+        tri_areas = tri_mod.areas_np(tris)
 
     for j, e in enumerate(entries):
         kind[j] = e["kind"]
@@ -139,13 +139,14 @@ def pack_lights(entries, tris: tri_mod.Triangles | None = None) -> Lights:
                 e["tri_start"] : e["tri_start"] + e["tri_count"]
             ].sum()
 
+    # Numpy leaves until Scene finalization (see triangle.pack_triangle_mesh).
     return Lights(
-        jnp.asarray(kind), jnp.asarray(flags), jnp.asarray(p), jnp.asarray(i),
-        jnp.asarray(direction), jnp.asarray(w2l), jnp.asarray(l2w),
-        jnp.asarray(ctw), jnp.asarray(cfs),
-        jnp.asarray(tri_start), jnp.asarray(tri_count),
-        jnp.asarray(total_area), jnp.asarray(two_sided),
-        jnp.zeros(3, F32), jnp.asarray(0.0, F32),
+        kind, flags, p, i,
+        direction, w2l, l2w,
+        ctw, cfs,
+        tri_start, tri_count,
+        total_area, two_sided,
+        np.zeros(3, np.float32), np.asarray(0.0, np.float32),
     )
 
 
@@ -154,12 +155,15 @@ def preprocess(lights: Lights, world_center, world_radius) -> Lights:
     (directional.jl:35-37, Trace.jl:184 TODO) — we always do."""
     return replace(
         lights,
-        world_center=jnp.asarray(world_center, F32),
-        world_radius=jnp.asarray(world_radius, F32),
+        world_center=np.asarray(world_center, np.float32),
+        world_radius=np.asarray(world_radius, np.float32),
     )
 
 
 def _gather(lights: Lights, idx):
+    import jax
+
+    lights = jax.tree.map(jnp.asarray, lights)  # np leaves -> gathers
     g = lambda x: x[idx]
     return {f: g(getattr(lights, f)) for f in (
         "kind", "flags", "p", "i", "direction", "w2l", "l2w",
@@ -183,6 +187,9 @@ def falloff(g, w):
 def _sample_area_point(g, tris: tri_mod.Triangles, u, max_tris: int):
     """Uniform-by-area point on the light's triangle range. Builds the area
     CDF on the fly over a static ``max_tris`` window."""
+    import jax
+
+    tris = jax.tree.map(jnp.asarray, tris)  # np leaves -> gathers
     offs = jnp.arange(max_tris, dtype=jnp.int32)[None, :]          # [1, M]
     tids = jnp.clip(g["tri_start"][:, None] + offs, 0,
                     max(tri_mod.num_triangles(tris) - 1, 0))
@@ -192,13 +199,16 @@ def _sample_area_point(g, tris: tri_mod.Triangles, u, max_tris: int):
     total = jnp.maximum(cdf[:, -1:], 1e-20)
     pick = jnp.sum((cdf / total < u[:, 0:1]).astype(jnp.int32), axis=1)
     pick = jnp.clip(pick, 0, max_tris - 1)
-    tid = jnp.take_along_axis(tids, pick[:, None], axis=1)[:, 0]
+    # One-hot selects over the window (take_along_axis = per-lane gather,
+    # 5-10x slower on TPU).
+    ohp = pick[:, None] == offs
+    sel = lambda x: jnp.sum(jnp.where(ohp, x, 0), axis=1).astype(x.dtype)
+    tid = sel(tids)
 
     # Rescale u0 within the chosen triangle's stratum for a fresh sample.
-    lo = jnp.take_along_axis(
-        jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf[:, :-1]], axis=1) / total,
-        pick[:, None], axis=1)[:, 0]
-    hi = jnp.take_along_axis(cdf / total, pick[:, None], axis=1)[:, 0]
+    lo = sel(jnp.concatenate(
+        [jnp.zeros_like(cdf[:, :1]), cdf[:, :-1]], axis=1) / total)
+    hi = sel(cdf / total)
     u0 = jnp.clip((u[:, 0] - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
 
     b = m.uniform_sample_triangle(jnp.stack([u0, u[:, 1]], axis=-1))

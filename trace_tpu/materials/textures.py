@@ -68,8 +68,10 @@ class ConstantTexture(Texture):
     """(basic.jl:4-10)."""
 
     def __init__(self, value):
+        # Host numpy: a device-array attribute closed over by jit is
+        # read back (d2h) at trace time — relay poison.
         v = np.asarray(value, np.float32)
-        self.value = jnp.asarray(v)
+        self.value = v
         self.is_spectral = v.ndim > 0
 
     def __call__(self, hit):

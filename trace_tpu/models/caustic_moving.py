@@ -24,16 +24,22 @@ SHIFTS = np.arange(0.0, 5.0 + 1e-6, 0.1, dtype=np.float32)
 
 
 def _spot_l2w(frm):
-    import jax.numpy as jnp
-
     to = np.array([-5.0, 0.0, 5.0], np.float32)
     d = to - frm
     d = d / np.linalg.norm(d)
-    dirv, du, dv = m.coordinate_system(jnp.asarray(d))
+    # Host-side coordinate_system (core/math.py:89 semantics): building
+    # this on device and reading it back would d2h mid scene-build.
+    if abs(d[0]) > abs(d[1]):
+        du = np.array([-d[2], 0.0, d[0]], np.float32)
+        du /= np.sqrt(d[0] * d[0] + d[2] * d[2])
+    else:
+        du = np.array([0.0, d[2], -d[1]], np.float32)
+        du /= np.sqrt(d[1] * d[1] + d[2] * d[2])
+    dv = np.cross(d, du)
     dir_to_z = np.eye(4, dtype=np.float32)
-    dir_to_z[0, :3] = np.asarray(du)
-    dir_to_z[1, :3] = np.asarray(dv)
-    dir_to_z[2, :3] = np.asarray(dirv)
+    dir_to_z[0, :3] = du
+    dir_to_z[1, :3] = dv
+    dir_to_z[2, :3] = d
     return T.compose(
         T.compose(T.translate([4.5, 0.0, -101.0]), T.translate(frm)),
         T.inverse(T.from_matrix(dir_to_z)),
@@ -54,7 +60,9 @@ def set_frame_lights(scene: Scene, shift: float) -> Scene:
     """Swap the scene's light table for the frame's lights; geometry and
     BVH stay untouched (the reference rebuilds the Scene per frame,
     caustic_moving.jl:90)."""
-    lights = pack_lights(frame_lights(shift), scene.triangles)
+    lights = pack_lights(
+        frame_lights(shift), getattr(scene, "triangles_host", scene.triangles)
+    )
     center = (scene.world_lo + scene.world_hi) / 2
     radius = float(np.linalg.norm(scene.world_hi - center))
     scene.lights = light_mod.preprocess(lights, center, radius)

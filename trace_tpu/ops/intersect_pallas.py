@@ -85,7 +85,8 @@ def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     b[0:3, :, 3] = blk(nrm)
     b[9, :, 3] = -v0n.reshape(nb, TRI_BLOCK)
     b[9, :, 4] = idsp.reshape(nb, TRI_BLOCK)
-    return jnp.asarray(b.reshape(16, nb * GROUPS * TRI_BLOCK), F32)
+    # Host numpy (device consts d2h at jit trace — relay poison).
+    return np.ascontiguousarray(b.reshape(16, nb * GROUPS * TRI_BLOCK), dtype=np.float32)
 
 
 def _kernel(a_ref, b_ref, tmax_ref, bt_ref, bi_ref):
@@ -215,5 +216,6 @@ class PallasMXUAccelerator:
 def attach(scene, interpret: bool = False):
     if scene.n_triangles == 0:
         return scene
-    scene.accel = PallasMXUAccelerator(scene.triangles, interpret=interpret)
+    scene.accel = PallasMXUAccelerator(
+        getattr(scene, "triangles_host", scene.triangles), interpret=interpret)
     return scene

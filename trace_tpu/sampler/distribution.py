@@ -23,8 +23,8 @@ class Distribution1D:
             cdf[1:] = np.arange(1, n + 1, dtype=np.float32) / n
         else:
             cdf[1:] /= self.func_int
-        self.func = jnp.asarray(f)
-        self.cdf = jnp.asarray(cdf)
+        self.func = f          # host numpy (jit embeds from host)
+        self.cdf = np.asarray(cdf)
         self.n = n
 
     def sample_discrete(self, u):

@@ -115,7 +115,7 @@ def _chunked_closest(intersect_fn, total, o, d, t_max, chunk):
         hit, t = intersect_fn(start, size)
         t = jnp.where(hit & (t <= t_max[:, None]), t, jnp.inf)
         li = jnp.argmin(t, axis=-1).astype(jnp.int32)
-        lt = jnp.take_along_axis(t, li[:, None], axis=-1)[:, 0]
+        lt = jnp.min(t, axis=-1)  # == t[li], no gather
         better = lt < best_t
         best_t = jnp.where(better, lt, best_t)
         best_i = jnp.where(better, li + start, best_i)
@@ -125,10 +125,18 @@ def _chunked_closest(intersect_fn, total, o, d, t_max, chunk):
 class Scene:
     def __init__(self, spheres, triangles, materials, lights, tri_light_id,
                  chunk_size: int = 2048):
+        # Geometry/light tables are HOST (numpy) pytrees by design: jitted
+        # render passes close over them and XLA embeds them from host
+        # memory for free. A device-array leaf would be read back (d2h)
+        # at trace time, which permanently degrades the TPU relay's
+        # dispatch latency (~20us -> ~2.7ms measured on v5e) — so nothing
+        # here may hold device arrays.
         self.spheres = spheres
         self.triangles = triangles
+        self.spheres_host = jax.tree.map(np.asarray, spheres)
+        self.triangles_host = jax.tree.map(np.asarray, triangles)
         self.materials = list(materials)
-        self.tri_light_id = jnp.asarray(tri_light_id, jnp.int32)
+        self.tri_light_id = np.asarray(tri_light_id, np.int32)
         self.chunk_size = int(chunk_size)
         self.n_spheres = sph_mod.num_spheres(spheres)
         self.n_triangles = tri_mod.num_triangles(triangles)
@@ -263,7 +271,7 @@ class Scene:
         tri_idx = jnp.clip(hit.prim_id - self.n_spheres, 0, self.n_triangles - 1)
         lid = jnp.where(
             hit.valid & (hit.prim_id >= self.n_spheres),
-            self.tri_light_id[tri_idx],
+            jnp.asarray(self.tri_light_id)[tri_idx],
             -1,
         )
         le = light_mod.le_area(self.lights, jnp.maximum(lid, 0), hit.n, wo)

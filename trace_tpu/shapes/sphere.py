@@ -40,8 +40,9 @@ def pack_spheres(entries) -> Spheres:
     material_id, reverse_orientation.
     Derived clipping params mirror the reference ctor (sphere.jl:13-26)."""
     if not entries:
-        return Spheres(*[jnp.zeros((0, 4, 4), F32)] * 2, *[jnp.zeros((0,), F32)] * 6,
-                       jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
+        return Spheres(*[np.zeros((0, 4, 4), np.float32)] * 2,
+                       *[np.zeros((0,), np.float32)] * 6,
+                       np.zeros((0,), np.int32), np.zeros((0,), bool))
     o2w, w2o = [], []
     radius, z_min, z_max, th_min, th_max, phi_max = [], [], [], [], [], []
     mat, flip = [], []
@@ -61,11 +62,15 @@ def pack_spheres(entries) -> Spheres:
         mat.append(int(e["material_id"]))
         swaps = bool(np.linalg.det(np.asarray(t.m)[:3, :3]) < 0)
         flip.append(bool(e.get("reverse_orientation", False)) ^ swaps)
+    # Numpy leaves until Scene finalization (see triangle.pack_triangle_mesh).
     return Spheres(
-        jnp.stack(o2w), jnp.stack(w2o),
-        jnp.asarray(radius, F32), jnp.asarray(z_min, F32), jnp.asarray(z_max, F32),
-        jnp.asarray(th_min, F32), jnp.asarray(th_max, F32), jnp.asarray(phi_max, F32),
-        jnp.asarray(mat, jnp.int32), jnp.asarray(flip, bool),
+        np.stack([np.asarray(x, np.float32) for x in o2w]),
+        np.stack([np.asarray(x, np.float32) for x in w2o]),
+        np.asarray(radius, np.float32), np.asarray(z_min, np.float32),
+        np.asarray(z_max, np.float32),
+        np.asarray(th_min, np.float32), np.asarray(th_max, np.float32),
+        np.asarray(phi_max, np.float32),
+        np.asarray(mat, np.int32), np.asarray(flip, bool),
     )
 
 
@@ -172,7 +177,7 @@ def intersect_closest(sph: Spheres, o, d, t_max):
     hit, t = intersect_all(sph, o, d, t_max)
     t_masked = jnp.where(hit, t, jnp.inf)
     idx = jnp.argmin(t_masked, axis=-1).astype(jnp.int32)
-    best_t = jnp.take_along_axis(t_masked, idx[:, None], axis=-1)[:, 0]
+    best_t = jnp.min(t_masked, axis=-1)  # == t_masked[idx], no gather
     return jnp.isfinite(best_t), best_t, idx
 
 
@@ -185,6 +190,9 @@ def intersect_p(sph: Spheres, o, d, t_max):
 def make_hit(sph: Spheres, o, d, time, t, idx, valid, prim_offset=0):
     """Detail phase: reconstruct the full surface frame for each ray's
     winning sphere (sphere.jl:150-163). Gathers sphere params at idx."""
+    import jax
+
+    sph = jax.tree.map(jnp.asarray, sph)  # np leaves -> traceable gathers
     g = lambda x: x[idx]
     w2o_m = g(sph.w2o)
     o2w_m = g(sph.o2w)

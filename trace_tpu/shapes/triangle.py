@@ -60,8 +60,12 @@ def pack_triangle_mesh(
     idx = np.asarray(indices, np.int64).reshape(-1, 3)
     tcount = idx.shape[0]
 
+    # Leaves stay numpy until Scene finalization: host-side consumers
+    # (BVH/cluster builds, world bounds, light areas) read them for free,
+    # and no device->host transfer ever happens during scene build — a
+    # single d2h permanently degrades the TPU relay's dispatch latency.
     def gather(arr, k):
-        return jnp.asarray(arr[idx[:, k]], F32)
+        return np.ascontiguousarray(arr[idx[:, k]], np.float32)
 
     if normals is not None:
         norms = np.asarray(normals, np.float32) @ inv[:3, :3]  # inverse transpose
@@ -77,9 +81,9 @@ def pack_triangle_mesh(
 
     def uv_at(k):
         if uvs is not None:
-            return jnp.asarray(uvs[idx[:, k]], F32)
+            return np.ascontiguousarray(uvs[idx[:, k]], np.float32)
         default = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], np.float32)[k]
-        return jnp.broadcast_to(jnp.asarray(default), (tcount, 2))
+        return np.broadcast_to(default, (tcount, 2)).copy()
 
     swaps = bool(np.linalg.det(o2w[:3, :3]) < 0)
     flip = np.full(tcount, bool(reverse_orientation) ^ swaps)
@@ -87,8 +91,8 @@ def pack_triangle_mesh(
         gather(verts_w, 0), gather(verts_w, 1), gather(verts_w, 2),
         gather(norms, 0), gather(norms, 1), gather(norms, 2),
         uv_at(0), uv_at(1), uv_at(2),
-        jnp.asarray(has_n), jnp.full((tcount,), material_id, jnp.int32),
-        jnp.asarray(flip),
+        has_n, np.full((tcount,), material_id, np.int32),
+        flip,
     )
 
 
@@ -97,15 +101,16 @@ def concat_triangles(parts) -> Triangles:
     if not parts:
         return empty_triangles()
     import jax
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    return jax.tree.map(lambda *xs: np.concatenate(
+        [np.asarray(x) for x in xs], axis=0), *parts)
 
 
 def empty_triangles() -> Triangles:
-    z3 = jnp.zeros((0, 3), F32)
-    z2 = jnp.zeros((0, 2), F32)
+    z3 = np.zeros((0, 3), np.float32)
+    z2 = np.zeros((0, 2), np.float32)
     return Triangles(z3, z3, z3, z3, z3, z3, z2, z2, z2,
-                     jnp.zeros((0,), bool), jnp.zeros((0,), jnp.int32),
-                     jnp.zeros((0,), bool))
+                     np.zeros((0,), bool), np.zeros((0,), np.int32),
+                     np.zeros((0,), bool))
 
 
 def num_triangles(t: Triangles) -> int:
@@ -124,6 +129,13 @@ def areas(t: Triangles):
     return 0.5 * m.length(m.cross(t.v1 - t.v0, t.v2 - t.v0))
 
 
+def areas_np(t: Triangles) -> np.ndarray:
+    """Host-side triangle areas (no device round-trip)."""
+    v0, v1, v2 = (np.asarray(x) for x in (t.v0, t.v1, t.v2))
+    c = np.cross(v1 - v0, v2 - v0)
+    return 0.5 * np.sqrt((c * c).sum(-1)).astype(np.float32)
+
+
 def _ray_space_edges(v0, v1, v2, o, d):
     """Translate+permute+shear vertices into ray space and evaluate the three
     2D edge functions (triangle_mesh.jl:85-123). Broadcasts over any pair
@@ -132,23 +144,30 @@ def _ray_space_edges(v0, v1, v2, o, d):
     Returns (e0, e1, e2, z0, z1, z2, shear_z_scaled) where z* are the sheared
     z coordinates already multiplied by shear_z.
     """
+    # Cyclic permutation (kx, ky, kz) with kz = argmax |d|, selected by
+    # arithmetic where-chains instead of take_along_axis: per-lane gathers
+    # along the 3-wide component axis are 5-10x slower on TPU and block
+    # XLA fusion (measured on v5e).
     ad = jnp.abs(d)
-    kz = jnp.argmax(ad, axis=-1)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
+    m0 = (ad[..., 0] >= ad[..., 1]) & (ad[..., 0] >= ad[..., 2])  # kz = 0
+    m1 = ~m0 & (ad[..., 1] >= ad[..., 2])                          # kz = 1
 
-    def perm(v, k):
-        return jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
+    def perm3(v):
+        """(v[kx], v[ky], v[kz]) for the cyclic permutation above."""
+        c0, c1, c2 = v[..., 0], v[..., 1], v[..., 2]
+        vx = jnp.where(m0, c1, jnp.where(m1, c2, c0))
+        vy = jnp.where(m0, c2, jnp.where(m1, c0, c1))
+        vz = jnp.where(m0, c0, jnp.where(m1, c1, c2))
+        return vx, vy, vz
 
-    dx, dy, dz = perm(d, kx), perm(d, ky), perm(d, kz)
+    dx, dy, dz = perm3(d)
     inv_dz = 1.0 / dz
     sx = -dx * inv_dz
     sy = -dy * inv_dz
     sz = inv_dz
 
     def shear(v):
-        t = v - o
-        tx, ty, tz = perm(t, kx), perm(t, ky), perm(t, kz)
+        tx, ty, tz = perm3(v - o)
         return tx + sx * tz, ty + sy * tz, tz
 
     x0, y0, z0 = shear(v0)
@@ -196,7 +215,7 @@ def intersect_closest(tris: Triangles, o, d, t_max):
     hit, t = intersect_all(tris, o, d, t_max)
     t_masked = jnp.where(hit, t, jnp.inf)
     idx = jnp.argmin(t_masked, axis=-1).astype(jnp.int32)
-    best_t = jnp.take_along_axis(t_masked, idx[:, None], axis=-1)[:, 0]
+    best_t = jnp.min(t_masked, axis=-1)  # == t_masked[idx], no gather
     return jnp.isfinite(best_t), best_t, idx
 
 
@@ -209,6 +228,9 @@ def make_hit(tris: Triangles, o, d, time, idx, valid, prim_offset=0):
     """Detail phase for each ray's winning triangle: barycentric interp of
     p/uv, uv-based ∂p, per-vertex-normal shading frame
     (triangle_mesh.jl:125-185, 216-242)."""
+    import jax
+
+    tris = jax.tree.map(jnp.asarray, tris)  # np leaves -> traceable gathers
     g = lambda x: x[idx]
     v0, v1, v2 = g(tris.v0), g(tris.v1), g(tris.v2)
     hit, t, b0, b1, b2 = _intersect_core(v0, v1, v2, o, d, jnp.full(o.shape[:-1], jnp.inf, F32))

@@ -484,6 +484,33 @@ class SPPMIntegrator:
             sp_start, vp, radius, sorted_vp, self.pair_chunk,
         )
 
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+    def _pair_loop(self, phi, m_cnt, total, offsets,
+                   sp_p, sp_d, sp_beta, sp_start,
+                   vp: VisiblePoints, radius, sorted_vp):
+        """Whole pair reduction as one device-side while_loop over
+        fixed-size chunks. ``total`` stays a traced scalar — no host sync
+        per iteration (a d2h readback would both serialize the SPPM loop
+        and permanently degrade the TPU relay's dispatch latency)."""
+        chunk = self.pair_chunk
+
+        def cond(carry):
+            base, _, _ = carry
+            return base < total
+
+        def body(carry):
+            base, phi, m_cnt = carry
+            phi, m_cnt = self._pair_body(
+                phi, m_cnt, base, total, offsets, sp_p, sp_d, sp_beta,
+                sp_start, vp, radius, sorted_vp, chunk,
+            )
+            return (base + jnp.int32(chunk), phi, m_cnt)
+
+        _, phi, m_cnt = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), phi, m_cnt)
+        )
+        return phi, m_cnt
+
     def _pair_body(self, phi, m_cnt, pair_base, total, offsets,
                    sp_p, sp_d, sp_beta, sp_start,
                    vp: VisiblePoints, radius, sorted_vp, chunk: int):
@@ -683,7 +710,11 @@ class SPPMIntegrator:
         offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
         )[:-1]
-        total = int(jnp.sum(counts))  # one host sync per iteration
+        # ``total`` stays on device on the single-chip path (the while
+        # loop below consumes the traced scalar); only the sharded path
+        # and opt-in stats need the host value.
+        need_host_total = self.mesh is not None or self.stats is not None
+        total = int(jnp.sum(counts)) if need_host_total else None
         if self.stats is not None:
             self.stats.add("photons_traced", np_iter)
             self.stats.add("photon_vp_pairs", total)
@@ -709,12 +740,11 @@ class SPPMIntegrator:
                     super_chunk, bases,
                 )
         else:
-            for base in range(0, total, self.pair_chunk):
-                phi, m_cnt = self._pair_pass(
-                    phi, m_cnt, jnp.int32(base), jnp.int32(total), offsets,
-                    splat["p"], splat["d"], splat["beta"], splat["start"],
-                    vp, state.radius, grid["sorted_vp"],
-                )
+            phi, m_cnt = self._pair_loop(
+                phi, m_cnt, jnp.sum(counts).astype(jnp.int32), offsets,
+                splat["p"], splat["d"], splat["beta"], splat["start"],
+                vp, state.radius, grid["sorted_vp"],
+            )
         state = SPPMState(state.ld, state.tau, state.radius, state.n,
                           phi, m_cnt)
 

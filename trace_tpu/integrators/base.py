@@ -53,17 +53,55 @@ class SamplerIntegrator:
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
     def _sample_pass(self, scene, state: FilmState, pixels, lane_valid, key,
                      stratum_lo, stratum_scale):
-        """One sample per pixel for one chunk (jitted once per chunk shape;
-        the spp loop stays outside so compile cost is O(1) in spp).
+        """One sample per pixel for one chunk.
         stratum_lo/scale ([2] f32) confine the film jitter to a stratum —
         (0, 1) for the uniform sampler."""
+        return self._sample_body(
+            scene, state, pixels, lane_valid, key, stratum_lo, stratum_scale
+        )
+
+    def _stratum_arrays(self, s):
+        """(lo, scale) for traced sample index s — confines film jitter to
+        the sampler's stratum; identity for the uniform sampler."""
+        if hasattr(self.sampler, "stratum"):
+            xs = jnp.float32(self.sampler.x_samples)
+            ys = jnp.float32(self.sampler.y_samples)
+            sf = s.astype(jnp.float32)
+            sx = jnp.mod(sf, xs)
+            sy = jnp.floor(sf / xs)
+            lo = jnp.stack([sx / xs, sy / ys])
+            scale = jnp.stack([1.0 / xs, 1.0 / ys])
+            return lo, scale
+        return jnp.zeros(2, jnp.float32), jnp.ones(2, jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
+    def _chunk_pass(self, scene, state: FilmState, pixels, lane_valid,
+                    chunk_key):
+        """All spp samples for one chunk in ONE dispatch: a lax.fori_loop
+        over the per-sample pass. One compile per chunk shape (the body is
+        traced once regardless of spp); no per-sample host round-trips —
+        each dispatch through the TPU tunnel costs ~0.4 ms, which at spp
+        dispatch granularity was most of the frame time."""
+        spp = self.sampler.samples_per_pixel
+
+        def body(s, st):
+            lo, scale = self._stratum_arrays(s)
+            return self._sample_body(
+                scene, st, pixels, lane_valid,
+                jax.random.fold_in(chunk_key, s), lo, scale,
+            )
+
+        return jax.lax.fori_loop(0, spp, body, state)
+
+    def _sample_body(self, scene, state, pixels, lane_valid, key, lo, scale):
+        """Unjitted body shared by _sample_pass (compat) and _chunk_pass."""
         spp = self.sampler.samples_per_pixel
         p_film, u_lens, u_time = get_camera_samples(
             jax.random.fold_in(key, 0), pixels
         )
-        p_film = pixels.astype(jnp.float32) + stratum_lo + (
+        p_film = pixels.astype(jnp.float32) + lo + (
             p_film - pixels.astype(jnp.float32)
-        ) * stratum_scale
+        ) * scale
         rd, weight = self.camera.generate_ray_differentials(
             p_film, u_lens, u_time
         )
@@ -103,23 +141,11 @@ class SamplerIntegrator:
                 part = np.concatenate([part, np.zeros((pad, 2), np.int32)])
                 valid = np.concatenate([valid, np.zeros(pad, bool)])
             part, valid = jnp.asarray(part), jnp.asarray(valid)
-            k_chunk = jax.random.fold_in(key, ci)
-            for s in range(spp):
-                if hasattr(self.sampler, "stratum"):
-                    sx, sy = self.sampler.stratum(s)
-                    lo = np.array(
-                        [sx / self.sampler.x_samples,
-                         sy / self.sampler.y_samples], np.float32)
-                    scale = np.array(
-                        [1.0 / self.sampler.x_samples,
-                         1.0 / self.sampler.y_samples], np.float32)
-                else:
-                    lo = np.zeros(2, np.float32)
-                    scale = np.ones(2, np.float32)
-                state = self._sample_pass(
-                    scene, state, part, valid, jax.random.fold_in(k_chunk, s),
-                    jnp.asarray(lo), jnp.asarray(scale),
-                )
+            # All spp samples for the chunk in one dispatch (the spp loop
+            # runs on device — keys/strata are derived inside the jit).
+            state = self._chunk_pass(
+                scene, state, part, valid, jax.random.fold_in(key, ci)
+            )
         if self.stats is not None:
             jax.block_until_ready(state.xyz)
             self.stats.stop("render")

@@ -321,7 +321,9 @@ def sample_le(lights: Lights, idx, u1, u2, time, tris=None, max_area_tris: int =
     is_dist = kind == DISTANT
     o = jnp.where(is_dist[:, None], p_disk, o)
     d = jnp.where(is_dist[:, None], g["direction"], d)
-    pdf_pos = jnp.where(is_dist, 1.0 / (m.PI * wr * wr), pdf_pos)
+    pdf_pos = jnp.where(
+        is_dist, 1.0 / jnp.maximum(m.PI * wr * wr, 1e-20), pdf_pos
+    )
     pdf_dir = jnp.where(is_dist, 1.0, pdf_dir)
 
     n_light = d

@@ -126,3 +126,22 @@ def test_scene_mixed_sphere_triangle():
     assert float(hit.t[0]) == pytest.approx(3.5, rel=1e-4)
     assert int(hit.prim_id[0]) == 1  # triangle ids start after 1 sphere
     assert not bool(hit.valid[1])
+
+
+def test_transmittance_matches_occlusion():
+    """Scene.transmittance is the reference VisibilityTester.trace
+    (light.jl:21-35) collapsed to 0/1 — every primitive has a material."""
+    import jax.numpy as jnp
+    import numpy as np
+    from trace_tpu.models.spheres import build_scene
+
+    scene = build_scene()
+    p0 = jnp.asarray([[0.3, 2.0, -2.2], [0.3, 2.0, -2.2]], jnp.float32)
+    # First target: straight down through the sphere at (0.3, 0.11, -2.2)
+    # (occluded); second: a point right next to p0 (clear).
+    p1 = jnp.asarray([[0.3, -1.0, -2.2], [0.3, 1.9, -2.2]], jnp.float32)
+    tr = np.asarray(scene.transmittance(p0, p1))
+    vis = np.asarray(scene.unoccluded(p0, p1))
+    assert tr.shape == (2, 3)
+    np.testing.assert_array_equal(tr[:, 0] > 0, vis)
+    assert tr[0].max() == 0.0 and tr[1].min() == 1.0

@@ -261,6 +261,18 @@ class Scene:
         t_max = jnp.full((n,), 1.0 - 1e-4, F32)
         return ~self.intersect_p(o, d, t_max)
 
+    def transmittance(self, p0, p1, time=None):
+        """Beam transmittance between two points — the reference
+        VisibilityTester's ``trace`` (light.jl:21-35): it walks successive
+        hits, returning black on any hit with a material and skipping
+        material-less hits. Every primitive in this framework carries a
+        material (primitive packing requires a material id), so the walk
+        collapses exactly to the occlusion predicate: 1 where unoccluded,
+        0 otherwise. Kept as API parity for integrators that expect a
+        spectral transmittance."""
+        vis = self.unoccluded(p0, p1, time)
+        return jnp.where(vis[..., None], 1.0, 0.0) * jnp.ones((1, 3), F32)
+
     def area_light_radiance(self, hit, wo):
         """Emitted radiance at hit points on emissive triangles — the `le`
         that is identically black in the reference

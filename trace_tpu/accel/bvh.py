@@ -396,5 +396,6 @@ def attach(scene, max_prims_per_leaf: int = 4):
     bounds = tri_mod.world_bounds_np(
         getattr(scene, "triangles_host", scene.triangles))
     bvh = build_bvh(bounds, max_prims_per_leaf)
+    scene.bump_version()
     scene.accel = BVHAccelerator(bvh, max_prims_per_leaf)
     return scene

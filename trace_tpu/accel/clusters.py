@@ -418,5 +418,6 @@ def attach(scene, leaf_tris: int = 32, stage_clusters: int = 64,
         return scene
     tris = getattr(scene, "triangles_host", scene.triangles)
     accel = build_clusters(tris, leaf_tris, max_prims_per_leaf)
+    scene.bump_version()
     scene.accel = ClusterAccelerator(accel, stage_clusters, ray_chunk)
     return scene

@@ -126,5 +126,6 @@ def attach(scene, leaf_tris: int = 32, stage_clusters: int = 64,
 
     accel = build_clusters_device(
         getattr(scene, "triangles_host", scene.triangles), leaf_tris)
+    scene.bump_version()
     scene.accel = ClusterAccelerator(accel, stage_clusters, ray_chunk)
     return scene

@@ -162,5 +162,6 @@ def attach(scene, tri_chunk: int = 8192):
     if scene.n_triangles == 0:
         return scene
     consts = build_consts(getattr(scene, "triangles_host", scene.triangles))
+    scene.bump_version()
     scene.accel = MXUAccelerator(consts, scene.n_triangles, tri_chunk)
     return scene

@@ -324,7 +324,9 @@ def attach(scene, leaf_tris: int = 32, max_prims_per_leaf: int = 4,
     if data_bytes > VMEM_BUDGET_BYTES:
         from .clusters import ClusterAccelerator
 
+        scene.bump_version()
         scene.accel = ClusterAccelerator(accel)
         return scene
+    scene.bump_version()
     scene.accel = PacketAccelerator(accel, interpret=interpret)
     return scene

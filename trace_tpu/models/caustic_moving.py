@@ -67,6 +67,7 @@ def set_frame_lights(scene: Scene, shift: float) -> Scene:
     radius = float(np.linalg.norm(scene.world_hi - center))
     scene.lights = light_mod.preprocess(lights, center, radius)
     scene.max_area_tris = 0
+    scene.bump_version()  # jit caches key on the scene hash
     return scene
 
 
@@ -88,6 +89,7 @@ def render_animation(
                 scene.accel.clusters,
                 scene.triangles.v0, scene.triangles.v1, scene.triangles.v2,
             )
+            scene.bump_version()  # jit caches key on the scene hash
         camera = build_camera(resolution, out_pattern.format(i=i))
         integ = SPPMIntegrator(
             camera, initial_search_radius=0.055, max_depth=max_depth,

@@ -216,6 +216,7 @@ class PallasMXUAccelerator:
 def attach(scene, interpret: bool = False):
     if scene.n_triangles == 0:
         return scene
+    scene.bump_version()
     scene.accel = PallasMXUAccelerator(
         getattr(scene, "triangles_host", scene.triangles), interpret=interpret)
     return scene

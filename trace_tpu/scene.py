@@ -161,6 +161,22 @@ class Scene:
         self.max_area_tris = int(
             np.asarray(self.lights.tri_count).max(initial=0)
         )
+        # Jitted render passes take the scene as a STATIC argument and
+        # bake its tables in at trace time. Mutating scene contents
+        # (set_frame_lights, accel swaps) must therefore change the hash,
+        # or a cached executable would silently keep the old tables.
+        self._version = 0
+
+    def bump_version(self) -> None:
+        """Call after mutating scene contents (lights, accel, geometry)
+        so jit caches keyed on the scene re-trace."""
+        self._version += 1
+
+    def __hash__(self):
+        return hash((id(self), self._version))
+
+    def __eq__(self, other):
+        return self is other and getattr(other, "_version", None) == self._version
 
     # -- intersection -------------------------------------------------------
 

@@ -44,12 +44,15 @@ def bench_whitted():
     state = integ.render(scene)  # warm-up (compile)
     jax.block_until_ready(state.xyz)
 
-    runs = 3
-    t0 = time.perf_counter()
-    for _ in range(runs):
+    # Median of repeated runs: per-dispatch latency through the TPU
+    # tunnel is jittery at the ~ms frame times this now reaches.
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
         state = integ.render(scene)
         jax.block_until_ready(state.xyz)
-    dt = (time.perf_counter() - t0) / runs
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     (x0, y0), (x1, y1) = camera.film.sample_bounds()
     n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)

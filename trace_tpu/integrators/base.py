@@ -76,12 +76,17 @@ class SamplerIntegrator:
 
     @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
     def _chunk_pass(self, scene, state: FilmState, pixels, lane_valid,
-                    chunk_key):
+                    chunk_key, lights):
         """All spp samples for one chunk in ONE dispatch: a lax.fori_loop
         over the per-sample pass. One compile per chunk shape (the body is
         traced once regardless of spp); no per-sample host round-trips —
         each dispatch through the TPU tunnel costs ~0.4 ms, which at spp
-        dispatch granularity was most of the frame time."""
+        dispatch granularity was most of the frame time.
+
+        ``lights`` is the scene's light table threaded in as a TRACED
+        argument (uploaded once per render): animated relights reuse this
+        executable instead of re-tracing (see Scene.with_lights)."""
+        scene = scene.with_lights(lights)
         spp = self.sampler.samples_per_pixel
 
         def body(s, st):
@@ -124,6 +129,9 @@ class SamplerIntegrator:
         chunk = min(self.pixel_chunk, n)
         spp = self.sampler.samples_per_pixel
         key = jax.random.key(self.sampler.seed)
+        # Light table uploaded once per render and passed as a traced jit
+        # argument — animated relights then reuse compiled executables.
+        lights_dev = jax.tree.map(jnp.asarray, scene.lights)
         if self.stats is not None:
             self.stats.start("render")
             # Per wavefront level: one closest-hit + one shadow ray per
@@ -144,7 +152,8 @@ class SamplerIntegrator:
             # All spp samples for the chunk in one dispatch (the spp loop
             # runs on device — keys/strata are derived inside the jit).
             state = self._chunk_pass(
-                scene, state, part, valid, jax.random.fold_in(key, ci)
+                scene, state, part, valid, jax.random.fold_in(key, ci),
+                lights_dev,
             )
         if self.stats is not None:
             jax.block_until_ready(state.xyz)

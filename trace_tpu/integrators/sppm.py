@@ -161,8 +161,12 @@ class SPPMIntegrator:
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
-    def _camera_pass_chunk(self, scene, pixels, lane_valid, key):
-        return self._camera_pass_body(scene, pixels, lane_valid, key)
+    def _camera_pass_chunk(self, scene, pixels, lane_valid, key, lights):
+        # lights threaded as a traced arg: frame relights reuse this
+        # executable (see Scene.with_lights).
+        return self._camera_pass_body(
+            scene.with_lights(lights), pixels, lane_valid, key
+        )
 
     def _camera_pass_body(self, scene, pixels, lane_valid, key):
         """Vectorized visible-point generation (sppm.jl:175-270) for a
@@ -346,9 +350,13 @@ class SPPMIntegrator:
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _photon_walk_chunk(self, scene, halton_idx, lane_valid,
                            light_cdf, light_pmf,
-                           grid_lo, grid_res, grid_inv_extent, sorted_cells):
+                           grid_lo, grid_res, grid_inv_extent, sorted_cells,
+                           lights):
+        # lights threaded as a traced arg: frame relights reuse this
+        # executable (see Scene.with_lights).
         return self._photon_walk_body(
-            scene, halton_idx, lane_valid, light_cdf, light_pmf,
+            scene.with_lights(lights), halton_idx, lane_valid,
+            light_cdf, light_pmf,
             grid_lo, grid_res, grid_inv_extent, sorted_cells,
         )
 
@@ -628,6 +636,9 @@ class SPPMIntegrator:
         n_pix = pixels.shape[0]
         chunk = min(self.pixel_chunk, n_pix)
         it_key = jax.random.fold_in(key, iteration)
+        # Light table as a traced jit arg (uploaded once per step):
+        # animated relights reuse the compiled passes.
+        lights_dev = jax.tree.map(jnp.asarray, scene.lights)
 
         # 1) Camera pass (chunked, or SPMD over the mesh when opted in).
         if self.mesh is not None and self.shard_camera:
@@ -657,7 +668,7 @@ class SPPMIntegrator:
                     valid = np.concatenate([valid, np.zeros(pad, bool)])
                 ld_c, vp_c = self._camera_pass_chunk(
                     scene, jnp.asarray(part), jnp.asarray(valid),
-                    jax.random.fold_in(it_key, ci),
+                    jax.random.fold_in(it_key, ci), lights_dev,
                 )
                 ld_parts.append(ld_c)
                 vp_parts.append(vp_c)
@@ -697,7 +708,7 @@ class SPPMIntegrator:
                     scene, jnp.asarray(idx), jnp.asarray(valid),
                     light_cdf, light_pmf,
                     grid["lo"], grid["res"], grid["inv_extent"],
-                    grid["sorted_cells"],
+                    grid["sorted_cells"], lights_dev,
                 )
                 splat_parts.append(sp)
             splat = {

@@ -67,7 +67,9 @@ def set_frame_lights(scene: Scene, shift: float) -> Scene:
     radius = float(np.linalg.norm(scene.world_hi - center))
     scene.lights = light_mod.preprocess(lights, center, radius)
     scene.max_area_tris = 0
-    scene.bump_version()  # jit caches key on the scene hash
+    # No bump_version: integrators thread the light table in as a traced
+    # jit argument (Scene.with_lights), so a relight reuses the compiled
+    # passes — the point of swapping lights instead of rebuilding.
     return scene
 
 
@@ -80,6 +82,16 @@ def render_animation(
     """Render the animation; yields (frame_index, SPPMState)."""
     scene = build_scene(ply_path)
     frames = SHIFTS if frames is None else frames
+    # One camera + integrator reused across frames: the jitted passes are
+    # compiled once (lights enter as traced arguments), so frame 2+ pays
+    # render time only — the reference rebuilds the whole Scene per frame
+    # (caustic_moving.jl:90).
+    camera = build_camera(resolution, out_pattern.format(i=1))
+    integ = SPPMIntegrator(
+        camera, initial_search_radius=0.055, max_depth=max_depth,
+        n_iterations=iterations,
+        photons_per_iteration=photons_per_iteration, **integ_kw,
+    )
     for i, shift in enumerate(frames, start=1):
         scene = set_frame_lights(scene, float(shift))
         if refit_each_frame and scene.accel is not None:
@@ -89,13 +101,8 @@ def render_animation(
                 scene.accel.clusters,
                 scene.triangles.v0, scene.triangles.v1, scene.triangles.v2,
             )
-            scene.bump_version()  # jit caches key on the scene hash
-        camera = build_camera(resolution, out_pattern.format(i=i))
-        integ = SPPMIntegrator(
-            camera, initial_search_radius=0.055, max_depth=max_depth,
-            n_iterations=iterations,
-            photons_per_iteration=photons_per_iteration, **integ_kw,
-        )
+            scene.bump_version()  # geometry is closure-baked: re-trace
+        camera.film.filename = out_pattern.format(i=i)
         state = integ.render(scene)
         integ.save(state, iterations)
         yield i, state

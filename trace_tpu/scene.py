@@ -172,6 +172,20 @@ class Scene:
         so jit caches keyed on the scene re-trace."""
         self._version += 1
 
+    def with_lights(self, lights) -> "Scene":
+        """Shallow view of this scene with the light table swapped.
+
+        Used inside jitted passes to thread the lights in as a TRACED
+        argument (integrators upload them once per render): a frame
+        relight then reuses the compiled executable instead of
+        re-tracing every graph — the per-frame economics of the animated
+        scenes (caustic_moving.jl) depend on this."""
+        import copy
+
+        view = copy.copy(self)
+        view.lights = lights
+        return view
+
     def __hash__(self):
         return hash((id(self), self._version))
 

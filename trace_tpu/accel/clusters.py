@@ -315,15 +315,26 @@ def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
     demand = jnp.sum(jnp.isfinite(entry), axis=0)
     perm = jnp.argsort(-demand).astype(jnp.int32)        # [C]
     entry_g = jnp.take(entry, perm, axis=1)              # column permute
-    suffix_min = jax.lax.associative_scan(
-        jnp.minimum, entry_g, reverse=True, axis=1
-    )
-    pad = (-c) % h + h
-    suffix_min = jnp.pad(
-        suffix_min, ((0, 0), (0, pad)), constant_values=jnp.inf
-    )
-    perm = jnp.pad(perm, (0, pad))
+    # The early-out only ever reads the suffix minimum at STAGE
+    # boundaries, so reduce per stage first ([N, C] -> [N, S]) and
+    # reverse-cummin over the S stages — h x less scan traffic than the
+    # per-column suffix scan (C can be ~10k for 1M-triangle scenes).
     n_stages = -(-c // h)
+    pad_c = n_stages * h - c
+    entry_stage = jnp.min(
+        jnp.pad(entry_g, ((0, 0), (0, pad_c)), constant_values=jnp.inf)
+        .reshape(n, n_stages, h),
+        axis=2,
+    )                                                     # [N, S]
+    stage_suffix = jax.lax.associative_scan(
+        jnp.minimum, entry_stage, reverse=True, axis=1
+    )
+    # stage_suffix[:, s] = min entry over stages >= s; append inf for the
+    # lookup at s+1 == n_stages.
+    stage_suffix = jnp.pad(
+        stage_suffix, ((0, 0), (0, 1)), constant_values=jnp.inf
+    )
+    perm = jnp.pad(perm, (0, pad_c + h))
 
     def cond(state):
         s, best_t, best_i, done = state
@@ -342,7 +353,7 @@ def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
         best_t = jnp.where(better, stage_t, best_t)
         best_i = jnp.where(better, stage_i, best_i)
         next_min = jax.lax.dynamic_slice(
-            suffix_min, (0, (s + 1) * h), (n, 1)
+            stage_suffix, (0, s + 1), (n, 1)
         )[:, 0]
         if any_hit:
             done = done | (best_t <= t_max)

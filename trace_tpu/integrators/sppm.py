@@ -615,6 +615,13 @@ class SPPMIntegrator:
         prev = jnp.concatenate([jnp.zeros(1, F32), light_cdf[:-1]])
         light_pmf = light_cdf - prev
 
+        # Progressive snapshots stay ON DEVICE until the loop finishes:
+        # a device->host readback mid-run permanently degrades the TPU
+        # relay's dispatch latency (~20us -> ~3ms measured, async copies
+        # included), so one mid-run PNG write would slow every remaining
+        # iteration ~100x. Checkpointing (opt-in durability) still writes
+        # immediately — the user traded throughput for resumability.
+        pending = None
         for it in range(start_iteration, iters + 1):
             state = self.step(scene, state, it, pixels, key,
                               light_cdf, light_pmf)
@@ -623,12 +630,18 @@ class SPPMIntegrator:
             if self.write_frequency and (
                 it % self.write_frequency == 0 or it == iters
             ):
-                self.save(state, it)
+                # Device-side snapshot; successive writes overwrite the
+                # same file anyway (film.jl:167-171 semantics), so only
+                # the newest needs flushing.
+                pending = self.to_image(state, it)
             if checkpoint_path:
                 from ..utils.checkpoint import save_pytree
 
                 save_pytree(checkpoint_path, state,
                             metadata={"iteration": it})
+        if pending is not None:
+            film = self.camera.film
+            film.save_png(film.set_image(pending))
         return state
 
     def step(self, scene, state: SPPMState, iteration: int, pixels, key,

@@ -92,17 +92,30 @@ def render_animation(
         n_iterations=iterations,
         photons_per_iteration=photons_per_iteration, **integ_kw,
     )
-    for i, shift in enumerate(frames, start=1):
-        scene = set_frame_lights(scene, float(shift))
-        if refit_each_frame and scene.accel is not None:
-            from ..accel.clusters import refit_clusters
+    # Frame PNGs are flushed AFTER the frame loop: any device->host
+    # readback mid-run permanently degrades the TPU relay dispatch
+    # latency (~100x), so saving each frame as it finishes would slow
+    # every later frame. Device images are cheap to hold (12 MB each at
+    # 1024^2).
+    pending = []
+    try:
+        for i, shift in enumerate(frames, start=1):
+            scene = set_frame_lights(scene, float(shift))
+            if refit_each_frame and scene.accel is not None:
+                from ..accel.clusters import refit_clusters
 
-            scene.accel.clusters = refit_clusters(
-                scene.accel.clusters,
-                scene.triangles.v0, scene.triangles.v1, scene.triangles.v2,
+                scene.accel.clusters = refit_clusters(
+                    scene.accel.clusters,
+                    scene.triangles.v0, scene.triangles.v1,
+                    scene.triangles.v2,
+                )
+                scene.bump_version()  # geometry is closure-baked: re-trace
+            state = integ.render(scene)
+            pending.append(
+                (out_pattern.format(i=i), integ.to_image(state, iterations))
             )
-            scene.bump_version()  # geometry is closure-baked: re-trace
-        camera.film.filename = out_pattern.format(i=i)
-        state = integ.render(scene)
-        integ.save(state, iterations)
-        yield i, state
+            yield i, state
+    finally:
+        film = camera.film
+        for path, img in pending:
+            film.save_png(film.set_image(img), path)

@@ -30,11 +30,27 @@ RGB_TO_XYZ_M = np.array(
 
 
 def xyz_to_rgb(xyz):
-    return jnp.einsum("...j,ij->...i", xyz, XYZ_TO_RGB_M)
+    M = XYZ_TO_RGB_M
+    return jnp.stack(
+        [
+            M[i, 0] * xyz[..., 0] + M[i, 1] * xyz[..., 1]
+            + M[i, 2] * xyz[..., 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )  # exact f32 (einsum hits the MXU bf16 default on TPU)
 
 
 def rgb_to_xyz(rgb):
-    return jnp.einsum("...j,ij->...i", rgb, RGB_TO_XYZ_M)
+    M = RGB_TO_XYZ_M
+    return jnp.stack(
+        [
+            M[i, 0] * rgb[..., 0] + M[i, 1] * rgb[..., 1]
+            + M[i, 2] * rgb[..., 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
 
 
 def to_y(rgb):

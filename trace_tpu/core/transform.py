@@ -162,19 +162,25 @@ def perspective(fov: float, near: float, far: float) -> Transform:
 
 
 def apply_point(t: Transform, p):
-    """Apply to points [..., 3] with perspective divide."""
-    r = jnp.einsum("...ij,...j->...i", t.m[..., :3, :3], p) + t.m[..., :3, 3]
-    w = jnp.einsum("...j,...j->...", t.m[..., 3, :3], p) + t.m[..., 3, 3]
+    """Apply to points [..., 3] with perspective divide. Exact f32
+    component arithmetic — einsum would hit the MXU's bf16 default
+    (see core.math.mat3_apply)."""
+    mm = jnp.asarray(t.m)
+    r = m.mat3_apply(mm[..., :3, :3], p) + mm[..., :3, 3]
+    w = (
+        mm[..., 3, 0] * p[..., 0] + mm[..., 3, 1] * p[..., 1]
+        + mm[..., 3, 2] * p[..., 2] + mm[..., 3, 3]
+    )
     return jnp.where((w == 1.0)[..., None], r, r / w[..., None])
 
 
 def apply_vec(t: Transform, v):
-    return jnp.einsum("...ij,...j->...i", t.m[..., :3, :3], v)
+    return m.mat3_apply(jnp.asarray(t.m)[..., :3, :3], v)
 
 
 def apply_normal(t: Transform, n):
     """Normals transform by the inverse transpose (transformations.jl:140)."""
-    return jnp.einsum("...ji,...j->...i", t.inv_m[..., :3, :3], n)
+    return m.mat3_apply_t(jnp.asarray(t.inv_m)[..., :3, :3], n)
 
 
 def apply_bounds(t: Transform, b: Bounds3) -> Bounds3:

@@ -129,9 +129,14 @@ class SamplerIntegrator:
         chunk = min(self.pixel_chunk, n)
         spp = self.sampler.samples_per_pixel
         key = jax.random.key(self.sampler.seed)
-        # Light table uploaded once per render and passed as a traced jit
-        # argument — animated relights then reuse compiled executables.
-        lights_dev = jax.tree.map(jnp.asarray, scene.lights)
+        # Light table passed as a traced jit argument — animated relights
+        # then reuse compiled executables. Uploaded once per light-table
+        # object (relights replace scene.lights wholesale).
+        cache = getattr(self, "_lights_cache", None)
+        if cache is None or cache[0] is not scene.lights:
+            cache = (scene.lights, jax.tree.map(jnp.asarray, scene.lights))
+            self._lights_cache = cache
+        lights_dev = cache[1]
         if self.stats is not None:
             self.stats.start("render")
             # Per wavefront level: one closest-hit + one shadow ray per

@@ -649,9 +649,13 @@ class SPPMIntegrator:
         n_pix = pixels.shape[0]
         chunk = min(self.pixel_chunk, n_pix)
         it_key = jax.random.fold_in(key, iteration)
-        # Light table as a traced jit arg (uploaded once per step):
-        # animated relights reuse the compiled passes.
-        lights_dev = jax.tree.map(jnp.asarray, scene.lights)
+        # Light table as a traced jit arg: animated relights reuse the
+        # compiled passes. Uploaded once per light-table object.
+        cache = getattr(self, "_lights_cache", None)
+        if cache is None or cache[0] is not scene.lights:
+            cache = (scene.lights, jax.tree.map(jnp.asarray, scene.lights))
+            self._lights_cache = cache
+        lights_dev = cache[1]
 
         # 1) Camera pass (chunked, or SPMD over the mesh when opted in).
         if self.mesh is not None and self.shard_camera:

@@ -174,7 +174,7 @@ def _gather(lights: Lights, idx):
 
 def falloff(g, w):
     """Spot falloff delta^4 (reference spot.jl:33-42). g: gathered fields."""
-    wl = jnp.einsum("nij,nj->ni", g["w2l"][:, :3, :3], w)
+    wl = m.mat3_apply(g["w2l"][:, :3, :3], w)  # exact f32, not MXU bf16
     cos_t = m.normalize(wl)[..., 2]
     d = (cos_t - g["cos_total_width"]) / jnp.maximum(
         g["cos_falloff_start"] - g["cos_total_width"], 1e-12
@@ -294,7 +294,7 @@ def sample_le(lights: Lights, idx, u1, u2, time, tris=None, max_area_tris: int =
     # Spot: uniform cone in light space -> world.
     d_cone = m.uniform_sample_cone(u1, g["cos_total_width"])
     d_spot = m.normalize(
-        jnp.einsum("nij,nj->ni", g["l2w"][:, :3, :3], d_cone)
+        m.mat3_apply(g["l2w"][:, :3, :3], d_cone)
     )
 
     d = jnp.where((kind == SPOT)[:, None], d_spot, d_point)

@@ -31,6 +31,49 @@ def make_mesh(devices=None, axis: str = "rays") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_step(scene, camera, mesh: Mesh, spp: int, max_depth: int,
+                  axis: str):
+    """Build (and cache) the jitted sharded render step. Cached per
+    (scene-version, camera, mesh, config) so repeated renders — e.g.
+    animation frames, which only change the light table — reuse the
+    compiled executable. The light table enters as a traced argument
+    (Scene.with_lights)."""
+    film = camera.film
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=P(),
+    )
+    def step(pix, lane_valid, key, lights):
+        scn = scene.with_lights(lights)
+        state = film.initial_state()
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        for s in range(spp):
+            k = jax.random.fold_in(key, s)
+            p_film, u_lens, u_time = get_camera_samples(
+                jax.random.fold_in(k, 0), pix
+            )
+            rd, weight = camera.generate_ray_differentials(
+                p_film, u_lens, u_time
+            )
+            rd = scale_differentials(
+                rd, np.float32(1.0 / np.sqrt(spp))
+            )
+            l = common.sanitize_radiance(
+                li(scn, rd, jax.random.fold_in(k, 1), max_depth)
+            )
+            state = film.add_samples(
+                state, p_film,
+                jnp.where(lane_valid[..., None], l, 0.0),
+                jnp.where(lane_valid, weight, 0.0),
+            )
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis), state)
+
+    return jax.jit(step)
+
+
 def render_sharded(scene, camera, mesh: Mesh, spp: int = 1, max_depth: int = 5,
                    seed: int = 0, axis: str = "rays") -> FilmState:
     """Render the camera's full film, data-parallel over the mesh.
@@ -51,36 +94,9 @@ def render_sharded(scene, camera, mesh: Mesh, spp: int = 1, max_depth: int = 5,
     valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
     pixels = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
-        out_specs=P(),
-    )
-    def step(pix, lane_valid, key):
-        state = film.initial_state()
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        for s in range(spp):
-            k = jax.random.fold_in(key, s)
-            p_film, u_lens, u_time = get_camera_samples(
-                jax.random.fold_in(k, 0), pix
-            )
-            rd, weight = camera.generate_ray_differentials(
-                p_film, u_lens, u_time
-            )
-            rd = scale_differentials(
-                rd, np.float32(1.0 / np.sqrt(spp))
-            )
-            l = common.sanitize_radiance(
-                li(scene, rd, jax.random.fold_in(k, 1), max_depth)
-            )
-            state = film.add_samples(
-                state, p_film,
-                jnp.where(lane_valid[..., None], l, 0.0),
-                jnp.where(lane_valid, weight, 0.0),
-            )
-        return jax.tree.map(lambda x: jax.lax.psum(x, axis), state)
-
+    step = _sharded_step(scene, camera, mesh, spp, max_depth, axis)
     # Keys fold in the device index so sample jitter decorrelates across
     # shards (deterministic for a fixed mesh size).
     key = jax.random.key(seed)
-    return jax.jit(step)(jnp.asarray(pixels), jnp.asarray(valid), key)
+    lights = jax.tree.map(jnp.asarray, scene.lights)
+    return step(jnp.asarray(pixels), jnp.asarray(valid), key, lights)

@@ -161,8 +161,11 @@ def _candidate_t(sph: Spheres, o_obj, d_obj, t_max):
 def _to_object(sph: Spheres, o, d):
     """Transform rays [N, 3] into each sphere's object space -> [N, S, 3]."""
     w2o = sph.w2o  # [S, 4, 4]
-    o_obj = jnp.einsum("sij,nj->nsi", w2o[:, :3, :3], o) + w2o[None, :, :3, 3]
-    d_obj = jnp.einsum("sij,nj->nsi", w2o[:, :3, :3], d)
+    # Exact f32 (einsum -> MXU bf16 default breaks on-surface points,
+    # see core.math.mat3_apply).
+    m33 = jnp.asarray(w2o)[None, :, :3, :3]            # [1, S, 3, 3]
+    o_obj = m.mat3_apply(m33, o[:, None, :]) + jnp.asarray(w2o)[None, :, :3, 3]
+    d_obj = m.mat3_apply(m33, d[:, None, :])
     return o_obj, d_obj
 
 
@@ -196,8 +199,8 @@ def make_hit(sph: Spheres, o, d, time, t, idx, valid, prim_offset=0):
     g = lambda x: x[idx]
     w2o_m = g(sph.w2o)
     o2w_m = g(sph.o2w)
-    o_obj = jnp.einsum("nij,nj->ni", w2o_m[:, :3, :3], o) + w2o_m[:, :3, 3]
-    d_obj = jnp.einsum("nij,nj->ni", w2o_m[:, :3, :3], d)
+    o_obj = m.mat3_apply(w2o_m[:, :3, :3], o) + w2o_m[:, :3, 3]
+    d_obj = m.mat3_apply(w2o_m[:, :3, :3], d)
     p = _refine(o_obj + d_obj * t[..., None], g(sph.radius))
     phi = _compute_phi(p)
 

@@ -39,7 +39,9 @@ def sum_over_lights(scene, hit, lobes, key, flags=lb.BSDF_ALL & ~lb.BSDF_SPECULA
         )
         f_val = B.f(lobes, hit.wo, wi, flags)
         contrib_possible = ~spec.is_black(radiance) & (pdf > 0) & ~spec.is_black(f_val)
-        vis = scene.unoccluded(hit.p, p_light) & contrib_possible & hit.valid
+        vis = scene.unoccluded(
+            hit.p, p_light, n_geom=hit.n
+        ) & contrib_possible & hit.valid
         contrib = f_val * radiance * (
             jnp.abs(m.dot(wi, hit.ns)) / jnp.maximum(pdf, 1e-20)
         )[..., None]
@@ -67,7 +69,7 @@ def estimate_direct(scene, hit, lobes, light_idx, u_light, u_scatter,
     )[..., None]
     scatter_pdf = B.compute_pdf(lobes, hit.wo, wi, flags)
     ok = (light_pdf > 0) & ~spec.is_black(radiance) & ~spec.is_black(f_val) & hit.valid
-    vis = scene.unoccluded(hit.p, p_light) & ok
+    vis = scene.unoccluded(hit.p, p_light, n_geom=hit.n) & ok
     delta = jnp.asarray(light_mod.is_delta(scene.lights))[light_idx]
     w_l = jnp.where(
         delta, 1.0, m.power_heuristic(1.0, light_pdf, 1.0, scatter_pdf)

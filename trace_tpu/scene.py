@@ -279,14 +279,26 @@ class Scene:
 
     # -- lights -------------------------------------------------------------
 
-    def unoccluded(self, p0, p1, time=None):
+    def unoccluded(self, p0, p1, time=None, n_geom=None):
         """Shadow-ray test between two points (light.jl:17-19): ray along
         the unnormalized p1-p0 with t_max 1 - eps, origin epsilon-offset
         (Trace.jl:196-203). Deviation: the reference leaves t_max = inf, so
         its shadow rays can be occluded by geometry *beyond* the light; we
-        clip at the light (PBRT semantics)."""
+        clip at the light (PBRT semantics).
+
+        With ``n_geom`` (the surface's geometric normal, [N, 3]) the
+        origin is additionally nudged along the normal, PBRT-style — the
+        reference's direction-only 1e-6 offset leaves ~0.4% of on-sphere
+        points falsely self-occluded at f32 (deterministic per point, so
+        it shows as stray black pixels at any spp)."""
         d = p1 - p0
         o = p0 + SPAWN_EPS * d
+        if n_geom is not None:
+            scale = 1e-4 * jnp.maximum(
+                1.0, jnp.max(jnp.abs(p0), axis=-1, keepdims=True)
+            )
+            side = jnp.sign(jnp.sum(n_geom * d, axis=-1, keepdims=True))
+            o = o + n_geom * (scale * side)
         n = p0.shape[0]
         t_max = jnp.full((n,), 1.0 - 1e-4, F32)
         return ~self.intersect_p(o, d, t_max)

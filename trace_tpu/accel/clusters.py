@@ -371,16 +371,50 @@ def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
     return hit, jnp.where(hit, best_t, jnp.inf), jnp.maximum(best_i, 0)
 
 
+def _sort_key(o, d, lo, inv_extent):
+    """Coherence sort key per ray: direction octant (3 high bits) then a
+    21-bit Morton code of the quantized origin. Rays sharing a key prefix
+    enter similar cluster sets, so a sorted chunk's demand-ordered sweep
+    retires in few stages — the batch-wise analog of packet reordering.
+    """
+    octant = (
+        (d[:, 0] < 0).astype(jnp.uint32)
+        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+        | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
+    )
+    q = jnp.clip(
+        ((o - lo) * inv_extent * 127.0), 0.0, 127.0
+    ).astype(jnp.uint32)                                   # 7 bits/axis
+
+    def spread(x):  # 7 bits -> every 3rd bit
+        x = (x | (x << 8)) & jnp.uint32(0x0100F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x010C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return (octant << 21) | morton
+
+
 class ClusterAccelerator:
     """Scene accelerator: cluster wavefront for triangles + brute-force
     spheres (same interface as bvh.BVHAccelerator). Rays are processed in
-    chunks so the [rays x clusters] entry table stays bounded."""
+    chunks so the [rays x clusters] entry table stays bounded; multi-chunk
+    batches are coherence-sorted first (see _sort_key) so each chunk's
+    sweep retires early."""
 
     def __init__(self, accel: ClusterAccel, stage_clusters: int = 64,
-                 ray_chunk: int = 16384):
+                 ray_chunk: int = 16384, sort_rays: bool = True):
         self.clusters = accel
         self.stage_clusters = int(stage_clusters)
         self.ray_chunk = int(ray_chunk)
+        self.sort_rays = bool(sort_rays)
+        lo = np.asarray(accel.c_lo).min(axis=0)
+        hi = np.asarray(accel.c_hi).max(axis=0)
+        self._world_lo = lo
+        self._world_inv_extent = (
+            1.0 / np.maximum(hi - lo, 1e-12)
+        ).astype(np.float32)
 
     def _chunked(self, o, d, t_max, any_hit):
         n = o.shape[0]
@@ -388,6 +422,14 @@ class ClusterAccelerator:
             return traverse(
                 self.clusters, o, d, t_max, self.stage_clusters, any_hit
             )
+        order = None
+        if self.sort_rays:
+            key = _sort_key(
+                o, d, jnp.asarray(self._world_lo),
+                jnp.asarray(self._world_inv_extent),
+            )
+            order = jnp.argsort(key)
+            o, d, t_max = o[order], d[order], t_max[order]
         outs = []
         for s in range(0, n, self.ray_chunk):
             e = min(s + self.ray_chunk, n)
@@ -395,7 +437,13 @@ class ClusterAccelerator:
                 self.clusters, o[s:e], d[s:e], t_max[s:e],
                 self.stage_clusters, any_hit,
             ))
-        return tuple(jnp.concatenate(x, axis=0) for x in zip(*outs))
+        hit, t, idx = (jnp.concatenate(x, axis=0) for x in zip(*outs))
+        if order is not None:
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(n, dtype=order.dtype)
+            )
+            hit, t, idx = hit[inv], t[inv], idx[inv]
+        return hit, t, idx
 
     def closest(self, scene, o, d, t_max):
         n = o.shape[0]

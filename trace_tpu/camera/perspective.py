@@ -31,7 +31,12 @@ class PerspectiveCamera:
         focal_distance: float = 1e6,
         fov: float = 90.0,
         film: Film | None = None,
+        convention: str = "reference",
     ):
+        """``convention``: "reference" replicates the Julia code's literal
+        camera math (its transposed perspective matrix — pixel parity);
+        "pbrt" uses the standard PBRT projection for well-framed output.
+        """
         self.camera_to_world = camera_to_world
         self.shutter_open = float(shutter_open)
         self.shutter_close = float(shutter_close)
@@ -40,13 +45,27 @@ class PerspectiveCamera:
         self.film = film
         self.fov = float(fov)
 
-        camera_to_screen = T.perspective(fov, 1e-2, 1000.0)
+        if convention == "pbrt":
+            # The look_at convention (transformations.jl:105) has the
+            # camera viewing down -z; PBRT's projection assumes +z, so
+            # flip z into the projection.
+            camera_to_screen = T.compose(
+                T.perspective_pbrt(fov, 1e-2, 1000.0), T.scale(1.0, 1.0, -1.0)
+            )
+        else:
+            camera_to_screen = T.perspective(fov, 1e-2, 1000.0)
         (sx0, sy0), (sx1, sy1) = screen_window
         rx, ry = film.resolution
+        # PBRT flips y in the raster chain (1/(y0-y1)); the reference's
+        # positive y scale is the source of its off-window "y band" quirk
+        # — kept under the default convention for pixel parity.
+        y_scale = (
+            1.0 / (sy0 - sy1) if convention == "pbrt" else 1.0 / (sy1 - sy0)
+        )
         screen_to_raster = T.compose(
             T.compose(
                 T.scale(rx, ry, 1.0),
-                T.scale(1.0 / (sx1 - sx0), 1.0 / (sy1 - sy0), 1.0),
+                T.scale(1.0 / (sx1 - sx0), y_scale, 1.0),
             ),
             T.translate([-sx0, -sy1, 0.0]),
         )

@@ -158,6 +158,28 @@ def perspective(fov: float, near: float, far: float) -> Transform:
     return compose(scale(inv_tan, inv_tan, 1.0), from_matrix(p))
 
 
+def perspective_pbrt(fov: float, near: float, far: float) -> Transform:
+    """Standard PBRT perspective projection — what the reference's source
+    visually reads as, i.e. `perspective` WITHOUT the column-major
+    transposition quirk. Provided for well-framed renders; the quirky
+    `perspective` stays the default for pixel parity with the reference's
+    conventions (verified by projecting its spheres.jl scene through the
+    literal Julia math)."""
+    a = far / (far - near)
+    b = -far * near / (far - near)
+    p = np.array(
+        [
+            [1, 0, 0, 0],
+            [0, 1, 0, 0],
+            [0, 0, a, b],
+            [0, 0, 1, 0],
+        ],
+        np.float32,
+    )
+    inv_tan = 1.0 / np.tan(np.deg2rad(fov) / 2.0)
+    return compose(scale(inv_tan, inv_tan, 1.0), from_matrix(p))
+
+
 # --- application -----------------------------------------------------------
 
 

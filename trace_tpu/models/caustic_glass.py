@@ -102,5 +102,5 @@ def build_camera(resolution: int = 256, filename: str = "caustics.png",
         screen_window=((-1.0, -1.0), (1.0, 1.0)),
         shutter_open=0.0, shutter_close=1.0,
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
-        film=film,
+        film=film, convention=convention,
     )

@@ -57,7 +57,8 @@ def build_scene() -> Scene:
     return b.build()
 
 
-def build_camera(resolution: int = 512, filename: str = "cornell.png"):
+def build_camera(resolution: int = 512, filename: str = "cornell.png",
+                 convention: str = "reference"):
     film = Film(
         (resolution, resolution),
         filter=LanczosSincFilter((1.0, 1.0), 3.0),
@@ -69,5 +70,5 @@ def build_camera(resolution: int = 512, filename: str = "cornell.png"):
         T.look_at([0.0, 0.0, 140.0], [0.0, -2.8, 0.0], [0.0, 1.0, 0.0]),
         screen_window=((-1.0, -1.0), (1.0, 1.0)),
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
-        film=film,
+        film=film, convention=convention,
     )

@@ -53,7 +53,8 @@ def build_scene(target_tris: int = 1_000_000) -> Scene:
     return b.build()
 
 
-def build_camera(resolution: int = 512, filename: str = "terrain.png"):
+def build_camera(resolution: int = 512, filename: str = "terrain.png",
+                 convention: str = "reference"):
     film = Film(
         (resolution, resolution),
         filter=LanczosSincFilter((1.0, 1.0), 3.0),
@@ -65,5 +66,5 @@ def build_camera(resolution: int = 512, filename: str = "terrain.png"):
         T.look_at([0.0, 400.0, 1100.0], [0.0, -22.0, 0.0], [0.0, 1.0, 0.0]),
         screen_window=((-1.0, -1.0), (1.0, 1.0)),
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
-        film=film,
+        film=film, convention=convention,
     )

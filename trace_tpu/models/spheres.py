@@ -62,7 +62,8 @@ def build_scene() -> Scene:
     return b.build()
 
 
-def build_camera(resolution: int = 1024, filename: str = "shadows.png"):
+def build_camera(resolution: int = 1024, filename: str = "shadows.png",
+                 convention: str = "reference"):
     film = Film(
         (resolution, resolution),
         filter=LanczosSincFilter((1.0, 1.0), 3.0),
@@ -73,5 +74,5 @@ def build_camera(resolution: int = 1024, filename: str = "shadows.png"):
         screen_window=((-1.0, -1.0), (1.0, 1.0)),
         shutter_open=0.0, shutter_close=1.0,
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
-        film=film,
+        film=film, convention=convention,
     )

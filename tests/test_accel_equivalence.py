@@ -140,3 +140,34 @@ def test_cluster_refit_matches_rebuild():
     h, t, i = CL.traverse(refit, o, d, t_max, 8, False)
     np.testing.assert_array_equal(np.asarray(h), bh)
     np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)
+
+
+def test_sorted_multichunk_traversal_matches_single_chunk():
+    """Coherence sort + chunking (accel/clusters.py ClusterAccelerator)
+    must reorder work only — results identical to one unsorted chunk."""
+    import numpy as np
+    import jax.numpy as jnp
+    from trace_tpu.accel import clusters as CL
+
+    tris = _soup(400, seed=5)
+    acc = CL.build_clusters(tris, leaf_tris=16)
+    big = CL.ClusterAccelerator(acc, ray_chunk=1 << 20, sort_rays=False)
+    small = CL.ClusterAccelerator(acc, ray_chunk=64, sort_rays=True)
+
+    rng = np.random.default_rng(11)
+    n = 400
+    o = jnp.asarray(rng.normal(0, 2, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32))
+    tm = jnp.full((n,), np.inf, jnp.float32)
+
+    h1, t1, i1 = big._chunked(o, d, tm, False)
+    h2, t2, i2 = small._chunked(o, d, tm, False)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_allclose(
+        np.where(np.asarray(h1), np.asarray(t1), 0),
+        np.where(np.asarray(h2), np.asarray(t2), 0), rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.where(np.asarray(h1), np.asarray(i1), -1),
+        np.where(np.asarray(h2), np.asarray(i2), -1),
+    )

@@ -165,3 +165,31 @@ def test_camera_samples_jitter_in_pixel():
     assert float(p_film[:, 0].min()) >= 3.0 and float(p_film[:, 0].max()) < 4.0
     assert float(p_film[:, 1].min()) >= 7.0 and float(p_film[:, 1].max()) < 8.0
     assert u_lens.shape == (64, 2) and u_time.shape == (64,)
+
+
+def test_pbrt_convention_camera_aims_at_target():
+    """convention="pbrt" (camera/perspective.py) gives standard framing:
+    the center pixel's ray points from the eye toward the look_at target
+    and corner rays spread by the field of view."""
+    import numpy as np
+    import jax.numpy as jnp
+    from trace_tpu.camera.perspective import PerspectiveCamera
+    from trace_tpu.core import transform as T
+    from trace_tpu.film.film import Film
+
+    film = Film((64, 64), filename="/tmp/pbrt_cam.png")
+    eye, target = [1.0, 2.0, 3.0], [4.0, 0.0, -5.0]
+    cam = PerspectiveCamera(
+        T.look_at(eye, target, [0.0, 1.0, 0.0]),
+        fov=90.0, film=film, convention="pbrt",
+    )
+    p_film = jnp.asarray([[32.5, 32.5], [1.0, 1.0], [64.0, 64.0]], jnp.float32)
+    u = jnp.zeros((3, 2), jnp.float32)
+    rd, w = cam.generate_ray_differentials(p_film, u, jnp.zeros(3))
+    d = np.asarray(rd.d)
+    want = np.array(target, np.float32) - np.array(eye, np.float32)
+    want /= np.linalg.norm(want)
+    assert np.allclose(d[0], want, atol=0.05), (d[0], want)
+    # ~90 deg fov: corner rays ~60+ degrees apart.
+    assert float(np.dot(d[1], d[2])) < 0.5
+    assert np.allclose(np.asarray(rd.o), np.array(eye), atol=1e-4)

@@ -84,7 +84,7 @@ def build_scene(ply_path: str = PLY_PATH) -> Scene:
 
 
 def build_camera(resolution: int = 256, filename: str = "caustics.png",
-                 showcase: bool = False):
+                 showcase: bool = False, convention: str = "reference"):
     """Faithful camera by default (caustic_glass.jl:96-99). The reference's
     screen-band quirk aims that camera slightly above the lit floor spot,
     so the caustic sits at the frame's bottom edge; ``showcase=True`` keeps

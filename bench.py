@@ -23,6 +23,12 @@ import traceback
 import numpy as np
 import jax
 
+# Persistent XLA compilation cache: through the remote-TPU tunnel a fresh
+# compile costs minutes; cached reruns skip it entirely (verified).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 RES = 256
 SPP = 4
 MAX_DEPTH = 5

@@ -9,7 +9,6 @@ its lobes into fixed slots of the batch ``Lobes`` SoA for the lanes it owns
 """
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from ..bxdf import bsdf as B

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import math as m
 from ..core import transform as T
 from ..integrators.sppm import SPPMIntegrator
 from ..lights.lights import pack_lights, point_light, spot_light

@@ -13,7 +13,6 @@ within an iteration, matching the reference's shared-memory reads).
 """
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

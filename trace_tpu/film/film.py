@@ -220,7 +220,8 @@ class Film:
 
     def save_png(self, state: FilmState, path: str | None = None, splat_scale: float = 1.0):
         from ..io.png import write_png
+        from ..utils.pytree import read_host
 
-        img = np.asarray(self.to_image(state, splat_scale))
+        img = read_host(self.to_image(state, splat_scale))
         write_png(path or self.filename, img[::-1])  # vertical flip (film.jl:221)
         return img

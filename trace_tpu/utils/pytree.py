@@ -31,3 +31,25 @@ def pytree(cls=None, *, static: tuple = ()):
 def replace(obj, **kwargs):
     """dataclasses.replace that works on pytree dataclasses."""
     return dataclasses.replace(obj, **kwargs)
+
+
+def read_host(x):
+    """Robust device->host readback.
+
+    A direct ``np.asarray`` on a TPU-relay array can hang indefinitely in
+    processes holding large device state (observed on v5e via the axon
+    tunnel: a 4-byte readback never returned after a 1024^2 SPPM run,
+    while routing the same array through the CPU backend completed in the
+    usual ~90 s first-transfer setup). Transfer to the CPU device first,
+    then view as numpy. No-op overhead on the CPU platform.
+    """
+    import numpy as np
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+        x = jax.device_put(x, cpu)
+        jax.block_until_ready(x)
+    except Exception:
+        pass
+    return np.asarray(x)

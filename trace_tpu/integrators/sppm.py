@@ -168,6 +168,45 @@ class SPPMIntegrator:
             scene.with_lights(lights), pixels, lane_valid, key
         )
 
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _camera_pass_all(self, scene, pixels, lane_valid, it_key, lights):
+        """Every camera chunk in ONE dispatch: lax.fori_loop over
+        fixed-size chunks with the identical per-chunk key schedule as
+        the python loop (bit-identical results). Each dispatch through
+        the TPU tunnel costs ~0.4 ms; at 1024^2 the chunked python loop
+        paid that 16x per iteration."""
+        scene = scene.with_lights(lights)
+        n_pad = pixels.shape[0]
+        chunk = min(self.pixel_chunk, n_pad)
+        n_chunks = n_pad // chunk  # caller pads to a multiple
+
+        ld_all = jnp.zeros((n_pad, 3), F32)
+        vp_all = VisiblePoints(
+            p=jnp.zeros((n_pad, 3), F32), wo=jnp.zeros((n_pad, 3), F32),
+            beta=jnp.zeros((n_pad, 3), F32),
+            valid=jnp.zeros((n_pad,), bool),
+            lobes=_compact_lobes(B.empty_lobes(n_pad)),
+        )
+
+        def body(ci, carry):
+            ld_all, vp_all = carry
+            start = ci * chunk
+            part = jax.lax.dynamic_slice(pixels, (start, 0), (chunk, 2))
+            val = jax.lax.dynamic_slice(lane_valid, (start,), (chunk,))
+            ld_c, vp_c = self._camera_pass_body(
+                scene, part, val, jax.random.fold_in(it_key, ci)
+            )
+            ld_all = jax.lax.dynamic_update_slice(ld_all, ld_c, (start, 0))
+            vp_all = jax.tree.map(
+                lambda a, c_: jax.lax.dynamic_update_slice(
+                    a, c_, (start,) + (0,) * (c_.ndim - 1)
+                ),
+                vp_all, vp_c,
+            )
+            return ld_all, vp_all
+
+        return jax.lax.fori_loop(0, n_chunks, body, (ld_all, vp_all))
+
     def _camera_pass_body(self, scene, pixels, lane_valid, key):
         """Vectorized visible-point generation (sppm.jl:175-270) for a
         chunk of pixels. Returns (ld_add [C,3], VisiblePoints chunk).
@@ -359,6 +398,47 @@ class SPPMIntegrator:
             light_cdf, light_pmf,
             grid_lo, grid_res, grid_inv_extent, sorted_cells,
         )
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _photon_walk_all(self, scene, halton_base, light_cdf, light_pmf,
+                         grid_lo, grid_res, grid_inv_extent, sorted_cells,
+                         lights):
+        """Every photon chunk in ONE dispatch (see _camera_pass_all).
+        Chunk layout and Halton indexing match the python loop exactly,
+        so splat ordering (and therefore the whole iteration) is
+        bit-identical."""
+        scene = scene.with_lights(lights)
+        np_iter = self.photons_per_iteration
+        chunk = min(self.pixel_chunk, np_iter)
+        n_chunks = -(-np_iter // chunk)
+        seg = (self.max_depth - 1) * chunk  # splat rows per chunk
+
+        def one_chunk(ci):
+            lane = jnp.arange(chunk, dtype=jnp.uint32)
+            gidx = jnp.uint32(ci) * jnp.uint32(chunk) + lane
+            idx = halton_base + gidx
+            valid = gidx < jnp.uint32(np_iter)
+            return self._photon_walk_body(
+                scene, idx, valid, light_cdf, light_pmf,
+                grid_lo, grid_res, grid_inv_extent, sorted_cells,
+            )
+
+        first = jax.tree.map(
+            lambda x: jnp.zeros((n_chunks * x.shape[0],) + x.shape[1:],
+                                x.dtype),
+            jax.eval_shape(one_chunk, 0),
+        )
+
+        def body(ci, acc):
+            sp = one_chunk(ci)
+            return {
+                k: jax.lax.dynamic_update_slice(
+                    acc[k], v, (ci * seg,) + (0,) * (v.ndim - 1)
+                )
+                for k, v in sp.items()
+            }
+
+        return jax.lax.fori_loop(0, n_chunks, body, first)
 
     def _photon_walk_body(self, scene, halton_idx, lane_valid,
                           light_cdf, light_pmf,
@@ -674,25 +754,19 @@ class SPPMIntegrator:
             ld_add = ld_add[:n_pix]
             vp = jax.tree.map(lambda x: x[:n_pix], vp)
         else:
-            ld_parts, vp_parts = [], []
-            for ci, startp in enumerate(range(0, n_pix, chunk)):
-                part = pixels[startp:startp + chunk]
-                valid = np.ones(part.shape[0], bool)
-                if part.shape[0] < chunk:
-                    pad = chunk - part.shape[0]
-                    part = np.concatenate(
-                        [part, np.zeros((pad, 2), np.int32)])
-                    valid = np.concatenate([valid, np.zeros(pad, bool)])
-                ld_c, vp_c = self._camera_pass_chunk(
-                    scene, jnp.asarray(part), jnp.asarray(valid),
-                    jax.random.fold_in(it_key, ci), lights_dev,
-                )
-                ld_parts.append(ld_c)
-                vp_parts.append(vp_c)
-            ld_add = jnp.concatenate(ld_parts, axis=0)[:n_pix]
-            vp = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0)[:n_pix], *vp_parts
+            # All chunks in one dispatch (bit-identical key schedule to
+            # the per-chunk python loop — see _camera_pass_all).
+            pad = (-n_pix) % chunk
+            part = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
+            valid = np.concatenate(
+                [np.ones(n_pix, bool), np.zeros(pad, bool)]
             )
+            ld_add, vp = self._camera_pass_all(
+                scene, jnp.asarray(part), jnp.asarray(valid), it_key,
+                lights_dev,
+            )
+            ld_add = ld_add[:n_pix]
+            vp = jax.tree.map(lambda x: x[:n_pix], vp)
 
         # 2) Grid.
         grid = self._build_grid(vp, state.radius)
@@ -714,24 +788,13 @@ class SPPMIntegrator:
                 grid["sorted_cells"],
             )
         else:
-            pchunk = min(self.pixel_chunk, np_iter)
-            splat_parts = []
-            for startp in range(0, np_iter, pchunk):
-                size = min(pchunk, np_iter - startp)
-                idx = halton_base + np.arange(startp, startp + pchunk,
-                                              dtype=np.uint32)
-                valid = np.arange(pchunk) < size  # pad the tail chunk
-                sp = self._photon_walk_chunk(
-                    scene, jnp.asarray(idx), jnp.asarray(valid),
-                    light_cdf, light_pmf,
-                    grid["lo"], grid["res"], grid["inv_extent"],
-                    grid["sorted_cells"], lights_dev,
-                )
-                splat_parts.append(sp)
-            splat = {
-                k: jnp.concatenate([p[k] for p in splat_parts], axis=0)
-                for k in splat_parts[0]
-            }
+            # All photon chunks in one dispatch; layout identical to the
+            # per-chunk python loop (see _photon_walk_all).
+            splat = self._photon_walk_all(
+                scene, jnp.uint32(halton_base), light_cdf, light_pmf,
+                grid["lo"], grid["res"], grid["inv_extent"],
+                grid["sorted_cells"], lights_dev,
+            )
 
         # 4) Pair expansion + reduction.
         counts = splat["count"]

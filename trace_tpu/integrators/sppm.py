@@ -702,40 +702,123 @@ class SPPMIntegrator:
         # iteration ~100x. Checkpointing (opt-in durability) still writes
         # immediately — the user traded throughput for resumability.
         pending = None
-        for it in range(start_iteration, iters + 1):
-            state = self.step(scene, state, it, pixels, key,
-                              light_cdf, light_pmf)
-            if progress:
-                print(f"sppm iteration {it}/{iters}", flush=True)
-            if self.write_frequency and (
-                it % self.write_frequency == 0 or it == iters
-            ):
-                # Device-side snapshot; successive writes overwrite the
-                # same file anyway (film.jl:167-171 semantics), so only
-                # the newest needs flushing.
-                pending = self.to_image(state, it)
-            if checkpoint_path:
-                from ..utils.checkpoint import save_pytree
+        fused = (self.mesh is None and self.stats is None
+                 and not progress and not checkpoint_path)
+        if fused:
+            # Single-chip fast path: whole blocks of iterations run as
+            # ONE dispatch (_iterations_fused); the host only steps in at
+            # snapshot boundaries.
+            chunk = min(self.pixel_chunk, pixels.shape[0])
+            pad = (-pixels.shape[0]) % chunk
+            part = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
+            lane_valid = np.concatenate(
+                [np.ones(pixels.shape[0], bool), np.zeros(pad, bool)]
+            )
+            part_j, valid_j = jnp.asarray(part), jnp.asarray(lane_valid)
+            lights_dev = self._lights_device(scene)
+            it = start_iteration
+            while it <= iters:
+                if self.write_frequency:
+                    stop = min(
+                        iters,
+                        ((it - 1) // self.write_frequency + 1)
+                        * self.write_frequency,
+                    )
+                else:
+                    stop = iters
+                state = self._iterations_fused(
+                    scene, state, stop - it + 1, jnp.int32(it),
+                    part_j, valid_j, key, light_cdf, light_pmf, lights_dev,
+                )
+                if self.write_frequency and (
+                    stop % self.write_frequency == 0 or stop == iters
+                ):
+                    pending = self.to_image(state, stop)
+                it = stop + 1
+        else:
+            for it in range(start_iteration, iters + 1):
+                state = self.step(scene, state, it, pixels, key,
+                                  light_cdf, light_pmf)
+                if progress:
+                    print(f"sppm iteration {it}/{iters}", flush=True)
+                if self.write_frequency and (
+                    it % self.write_frequency == 0 or it == iters
+                ):
+                    # Device-side snapshot; successive writes overwrite
+                    # the same file (film.jl:167-171 semantics), so only
+                    # the newest needs flushing.
+                    pending = self.to_image(state, it)
+                if checkpoint_path:
+                    from ..utils.checkpoint import save_pytree
 
-                save_pytree(checkpoint_path, state,
-                            metadata={"iteration": it})
+                    save_pytree(checkpoint_path, state,
+                                metadata={"iteration": it})
         if pending is not None:
             film = self.camera.film
             film.save_png(film.set_image(pending))
         return state
+
+    def _lights_device(self, scene):
+        """Light table as a traced jit arg: animated relights reuse the
+        compiled passes. Uploaded once per light-table object."""
+        cache = getattr(self, "_lights_cache", None)
+        if cache is None or cache[0] is not scene.lights:
+            cache = (scene.lights, jax.tree.map(jnp.asarray, scene.lights))
+            self._lights_cache = cache
+        return cache[1]
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 3))
+    def _iterations_fused(self, scene, state: SPPMState, n_iters: int,
+                          it_start, pixels, lane_valid, key,
+                          light_cdf, light_pmf, lights) -> SPPMState:
+        """``n_iters`` full SPPM iterations as ONE dispatch — the whole
+        五-phase loop (camera, grid, photons, pair reduction, pixel
+        update) is device-side with no host round-trips. Key schedule,
+        Halton indexing and splat layout match step() exactly. Used by
+        render() between snapshot/checkpoint boundaries on the
+        single-chip path."""
+        n_pix = self.n_pixels
+        np_iter = self.photons_per_iteration
+
+        def body(k, st):
+            it = it_start + k
+            it_key = jax.random.fold_in(key, it)
+            ld_add, vp = self._camera_pass_all(
+                scene, pixels, lane_valid, it_key, lights
+            )
+            ld_add = ld_add[:n_pix]
+            vp = jax.tree.map(lambda x: x[:n_pix], vp)
+            grid = self._build_grid(vp, st.radius)
+            halton_base = (
+                (it.astype(jnp.uint32) - jnp.uint32(1))
+                * jnp.uint32(np_iter)
+            )
+            splat = self._photon_walk_all(
+                scene, halton_base, light_cdf, light_pmf,
+                grid["lo"], grid["res"], grid["inv_extent"],
+                grid["sorted_cells"], lights,
+            )
+            counts = splat["count"]
+            offsets = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32),
+                 jnp.cumsum(counts, dtype=jnp.int32)]
+            )[:-1]
+            phi, m_cnt = self._pair_loop(
+                st.phi, st.m, jnp.sum(counts).astype(jnp.int32), offsets,
+                splat["p"], splat["d"], splat["beta"], splat["start"],
+                vp, st.radius, grid["sorted_vp"],
+            )
+            st = SPPMState(st.ld, st.tau, st.radius, st.n, phi, m_cnt)
+            return self._update_pixels(st, ld_add)
+
+        return jax.lax.fori_loop(0, n_iters, body, state)
 
     def step(self, scene, state: SPPMState, iteration: int, pixels, key,
              light_cdf, light_pmf) -> SPPMState:
         n_pix = pixels.shape[0]
         chunk = min(self.pixel_chunk, n_pix)
         it_key = jax.random.fold_in(key, iteration)
-        # Light table as a traced jit arg: animated relights reuse the
-        # compiled passes. Uploaded once per light-table object.
-        cache = getattr(self, "_lights_cache", None)
-        if cache is None or cache[0] is not scene.lights:
-            cache = (scene.lights, jax.tree.map(jnp.asarray, scene.lights))
-            self._lights_cache = cache
-        lights_dev = cache[1]
+        lights_dev = self._lights_device(scene)
 
         # 1) Camera pass (chunked, or SPMD over the mesh when opted in).
         if self.mesh is not None and self.shard_camera:

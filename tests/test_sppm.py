@@ -204,3 +204,26 @@ def test_sppm_matches_path_tracer_order_of_magnitude():
     mean_sp = float(np.asarray(sp.to_image(st, 8)).mean())
     ratio = mean_sp / mean_pt
     assert 0.6 < ratio < 1.7, (mean_sp, mean_pt, ratio)
+
+
+def test_fused_iteration_blocks_match_stepwise():
+    """_iterations_fused (whole blocks in one dispatch) must reproduce
+    the stepwise path exactly — same key schedule and Halton indexing."""
+    import numpy as np
+    import jax
+    from trace_tpu.models.spheres import build_scene, build_camera
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+
+    scene = build_scene()
+
+    def run(fused):
+        cam = build_camera(resolution=16, filename="/tmp/sppm_f.png")
+        integ = SPPMIntegrator(
+            cam, initial_search_radius=0.3, max_depth=2, n_iterations=3,
+            photons_per_iteration=256, pixel_chunk=128,
+            fused_iterations=fused,
+        )
+        st = integ.render(scene)
+        return np.asarray(integ.to_image(st, 3))
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-6, atol=1e-7)

@@ -133,7 +133,8 @@ class SPPMIntegrator:
                  photons_per_iteration: int = -1, write_frequency: int = 0,
                  pixel_chunk: int = 1 << 16, pair_chunk: int = 1 << 19,
                  seed: int = 0, stats=None, mesh=None,
-                 shard_axis: str = "photons", shard_camera: bool = False):
+                 shard_axis: str = "photons", shard_camera: bool = False,
+                 fused_iterations: bool = False):
         self.stats = stats
         self.mesh = mesh            # jax.sharding.Mesh -> SPMD photon/pair
         self.shard_axis = shard_axis
@@ -155,6 +156,12 @@ class SPPMIntegrator:
         self.pixel_chunk = int(pixel_chunk)
         self.pair_chunk = int(pair_chunk)
         self.seed = int(seed)
+        # Whole iteration blocks as one dispatch (_iterations_fused):
+        # verified bit-exact on CPU, but the generated program faults the
+        # TPU runtime through the current relay (under investigation), so
+        # it is opt-in. The merged per-phase dispatches already bring a
+        # warm 1024^2 iteration to ~5 ms.
+        self.fused_iterations = bool(fused_iterations)
 
     # ------------------------------------------------------------------
     # Phase 1: camera pass
@@ -702,7 +709,8 @@ class SPPMIntegrator:
         # iteration ~100x. Checkpointing (opt-in durability) still writes
         # immediately — the user traded throughput for resumability.
         pending = None
-        fused = (self.mesh is None and self.stats is None
+        fused = (self.fused_iterations and self.mesh is None
+                 and self.stats is None
                  and not progress and not checkpoint_path)
         if fused:
             # Single-chip fast path: whole blocks of iterations run as

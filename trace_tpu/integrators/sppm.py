@@ -157,10 +157,12 @@ class SPPMIntegrator:
         self.pair_chunk = int(pair_chunk)
         self.seed = int(seed)
         # Whole iteration blocks as one dispatch (_iterations_fused):
-        # verified bit-exact on CPU, but the generated program faults the
-        # TPU runtime through the current relay (under investigation), so
-        # it is opt-in. The merged per-phase dispatches already bring a
-        # warm 1024^2 iteration to ~5 ms.
+        # verified bit-exact vs stepwise on CPU (tested), but long blocks
+        # fault the TPU runtime through the current relay (isolated on
+        # v5e: 3-iteration blocks run and produce correct tau, 100-
+        # iteration blocks die with a device error regardless of depth/
+        # resolution), so it is opt-in. The merged per-phase dispatches
+        # already bring a warm 1024^2 iteration to ~5 ms.
         self.fused_iterations = bool(fused_iterations)
 
     # ------------------------------------------------------------------

@@ -1,22 +1,35 @@
-"""Benchmark: Whitted wavefront render throughput on the reference's
-"shadows" scene (BASELINE.json config 1: 256x256, max depth 5).
+"""Benchmarks for all five BASELINE.json configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+The primary metric stays config 1 (Whitted shadows 256², the number
+tracked since round 1); ``extras`` carries every config so the driver
+artifact records the full BASELINE table:
 
-Ray accounting: every wavefront level traces, per queue lane, one
-closest-hit ray plus one any-hit shadow ray per light; the queue capacity
-equals the pixel-sample count. The reference publishes no numbers
-(BASELINE.md), so vs_baseline is reported against the driver's north-star
-target of 100 Mrays/s/chip.
+  1. whitted_shadows_256_mrays   — shadows scene, Whitted, 256², depth 5
+  2. cornell_mis_512_mrays       — Cornell path tracer, area light + MIS,
+                                   512², 4 spp, depth 5
+  3. sppm_caustic_1024_ms_per_iter — caustic_glass SPPM, 1024², depth 8,
+                                   262144 photons/iteration (warm)
+  4. mesh1m_whitted_256_mrays    — 1M-triangle heightfield traversal,
+                                   256², depth 2
+  5. animated_relight_ms_per_frame — caustic scene, per-frame light swap
+                                   (+BVH refit), 2 SPPM iters at 128²
 
-If the full render path fails on the bench host (e.g. a compile
-regression), falls back to raw MXU intersection throughput on the
-caustic-glass mesh so the driver always records a number; the fallback is
-flagged in the metric name.
+Ray accounting (configs 1/2/4): every wavefront level traces one
+closest-hit ray per queue lane plus one any-hit shadow ray per light
+(config 2: one NEE shadow ray per bounce); the queue capacity equals the
+pixel-sample count. The reference publishes no numbers (BASELINE.md), so
+vs_baseline is against the driver's north-star target of 100 Mrays/s/chip.
+
+Each config is independently guarded: a failure records ``null`` for that
+entry (with the error class in ``extras.errors``) instead of killing the
+run. Timings are medians over repeats; the primary metric also reports
+its IQR so run-to-run tunnel jitter is visible in the artifact.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 import traceback
 
@@ -24,102 +37,233 @@ import numpy as np
 import jax
 
 # Persistent XLA compilation cache: through the remote-TPU tunnel a fresh
-# compile costs minutes; cached reruns skip it entirely (verified).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+# compile costs minutes; cached reruns skip it entirely (verified). Keyed
+# per platform profile — a cache entry AOT-compiled for one profile can
+# SIGILL on another (the round-1 entry-point lesson, commit e77c513).
+_profile = os.environ.get("JAX_PLATFORMS", "default").replace(",", "-")
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jaxcache-{_profile}")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-RES = 256
-SPP = 4
-MAX_DEPTH = 5
 NORTH_STAR_MRAYS = 100.0
 
 
-def bench_whitted():
+def _median_iqr(times):
+    q1, med, q3 = np.percentile(times, [25, 50, 75])
+    return float(med), float(q3 - q1)
+
+
+def bench_whitted_shadows():
+    """Config 1: shadows scene, Whitted, 256², depth 5."""
     from trace_tpu.models.spheres import build_scene, build_camera
     from trace_tpu.integrators.whitted import WhittedIntegrator
     from trace_tpu.sampler.uniform import UniformSampler
 
+    res, spp, max_depth = 256, 4, 5
     scene = build_scene()
-    camera = build_camera(resolution=RES, filename="/tmp/bench_shadows.png")
+    camera = build_camera(resolution=res, filename="/tmp/bench_shadows.png")
     integ = WhittedIntegrator(
-        camera, UniformSampler(SPP, seed=0), max_depth=MAX_DEPTH,
+        camera, UniformSampler(spp, seed=0), max_depth=max_depth,
         pixel_chunk=1 << 17,  # whole frame in one chunk -> spp dispatches
     )
 
     state = integ.render(scene)  # warm-up (compile)
     jax.block_until_ready(state.xyz)
 
-    # Median of repeated runs: per-dispatch latency through the TPU
-    # tunnel is jittery at the ~ms frame times this now reaches.
     times = []
     for _ in range(10):
         t0 = time.perf_counter()
         state = integ.render(scene)
         jax.block_until_ready(state.xyz)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt, iqr = _median_iqr(times)
 
     (x0, y0), (x1, y1) = camera.film.sample_bounds()
     n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
     n_lights = int(np.asarray(scene.lights.kind).shape[0])
-    total_rays = n_pixels * SPP * (1 + n_lights) * MAX_DEPTH
+    total_rays = n_pixels * spp * (1 + n_lights) * max_depth
     mrays = total_rays / dt / 1e6
     return {
-        "metric": "whitted_shadows_256_mrays_per_sec",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+        "mrays": round(mrays, 3),
+        "ms": round(dt * 1e3, 3),
+        "iqr_ms": round(iqr * 1e3, 3),
     }
 
 
-def bench_fallback_intersect():
-    import jax.numpy as jnp
-    from trace_tpu.models.caustic_glass import build_scene
-    from trace_tpu.accel.mxu import MXUAccelerator, build_consts
+def bench_cornell_path():
+    """Config 2: Cornell-style box, path tracer with area light + MIS,
+    512², 4 spp, depth 5."""
+    from trace_tpu.models.cornell import build_scene, build_camera
+    from trace_tpu.integrators.path import PathIntegrator
+    from trace_tpu.sampler.uniform import UniformSampler
+
+    res, spp, max_depth = 512, 4, 5
+    scene = build_scene()
+    camera = build_camera(resolution=res, filename="/tmp/bench_cornell.png")
+    integ = PathIntegrator(
+        camera, UniformSampler(spp, seed=0), max_depth=max_depth,
+        pixel_chunk=1 << 18,
+    )
+
+    state = integ.render(scene)
+    jax.block_until_ready(state.xyz)
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        state = integ.render(scene)
+        jax.block_until_ready(state.xyz)
+        times.append(time.perf_counter() - t0)
+    dt, _ = _median_iqr(times)
+
+    (x0, y0), (x1, y1) = camera.film.sample_bounds()
+    n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
+    # Per bounce: one scatter ray + one NEE shadow ray.
+    total_rays = n_pixels * spp * max_depth * 2
+    return {"mrays": round(total_rays / dt / 1e6, 3),
+            "ms": round(dt * 1e3, 3)}
+
+
+def bench_sppm_caustic():
+    """Config 3: caustic_glass SPPM flagship — 1024², ray depth 8,
+    262144 photons/iteration. Reports warm ms per full SPPM iteration
+    (all five phases, device-side)."""
+    from trace_tpu.models.caustic_glass import build_scene, build_camera
+    from trace_tpu.integrators.sppm import SPPMIntegrator
 
     scene = build_scene()
-    acc = MXUAccelerator(build_consts(scene.triangles_host), scene.n_triangles,
-                         tri_chunk=4096)
-    rng = np.random.default_rng(0)
-    n = 65536
-    o = jnp.asarray(
-        np.array([1.2, 3.0, -98.0], np.float32)
-        + rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    camera = build_camera(resolution=1024,
+                          filename="/tmp/bench_caustic.png")
+    integ = SPPMIntegrator(
+        camera, initial_search_radius=0.075, max_depth=8,
+        n_iterations=100, photons_per_iteration=1 << 18,
     )
-    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    d = jnp.asarray(d)
-    tm = jnp.full((n,), jnp.inf)
-    f = jax.jit(lambda o, d, tm: acc._sweep(o, d, tm, False)[1])
-    jax.block_until_ready(f(o, d, tm))
+    state = integ.render(scene, n_iterations=2)  # warm-up (compile)
+    jax.block_until_ready(state.tau)
+
+    n_timed = 10
     t0 = time.perf_counter()
-    jax.block_until_ready(f(o, d, tm))
-    dt = time.perf_counter() - t0
-    mrays = n / dt / 1e6
+    state = integ.render(scene, n_iterations=n_timed)
+    jax.block_until_ready(state.tau)
+    dt = (time.perf_counter() - t0) / n_timed
+    return {"ms_per_iter": round(dt * 1e3, 3)}
+
+
+def bench_mesh_1m():
+    """Config 4: ~1M-triangle heightfield, Whitted 256² depth 2 —
+    traversal throughput at production mesh scale (plus the one-time
+    native SAH build, reported separately)."""
+    from trace_tpu.models.mesh_heavy import build_scene, build_camera
+    from trace_tpu.integrators.whitted import WhittedIntegrator
+    from trace_tpu.sampler.uniform import UniformSampler
+
+    res, spp, max_depth = 256, 1, 2
+    tb0 = time.perf_counter()
+    scene = build_scene()
+    build_s = time.perf_counter() - tb0
+    camera = build_camera(resolution=res, filename="/tmp/bench_mesh1m.png")
+    integ = WhittedIntegrator(
+        camera, UniformSampler(spp, seed=0), max_depth=max_depth,
+        pixel_chunk=1 << 17,
+    )
+    state = integ.render(scene)
+    jax.block_until_ready(state.xyz)
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        state = integ.render(scene)
+        jax.block_until_ready(state.xyz)
+        times.append(time.perf_counter() - t0)
+    dt, _ = _median_iqr(times)
+
+    (x0, y0), (x1, y1) = camera.film.sample_bounds()
+    n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
+    n_lights = int(np.asarray(scene.lights.kind).shape[0])
+    total_rays = n_pixels * spp * (1 + n_lights) * max_depth
     return {
-        "metric": "FALLBACK_mxu_intersect_88k_mrays_per_sec",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+        "mrays": round(total_rays / dt / 1e6, 3),
+        "ms": round(dt * 1e3, 3),
+        "n_tris": int(scene.n_triangles),
+        "build_s": round(build_s, 2),
     }
+
+
+def bench_animated_relight():
+    """Config 5: animated caustic relight — per-frame light-table swap
+    (the moving spot of caustic_moving.jl) + cluster refit, 2 SPPM
+    iterations per frame at 128². Lights enter the jitted passes as
+    traced arguments, so frames 2+ reuse the compiled executables."""
+    from trace_tpu.models.caustic_glass import build_scene, build_camera
+    from trace_tpu.models.caustic_moving import set_frame_lights
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+    from trace_tpu.accel.clusters import refit_clusters
+
+    scene = build_scene()
+    camera = build_camera(resolution=128, filename="/tmp/bench_anim.png")
+    integ = SPPMIntegrator(
+        camera, initial_search_radius=0.055, max_depth=5, n_iterations=2,
+        photons_per_iteration=1 << 16,
+    )
+
+    def frame(shift):
+        set_frame_lights(scene, float(shift))
+        if scene.accel is not None:
+            scene.accel.clusters = refit_clusters(
+                scene.accel.clusters, scene.triangles.v0,
+                scene.triangles.v1, scene.triangles.v2,
+            )
+        st = integ.render(scene, n_iterations=2)
+        jax.block_until_ready(st.tau)
+
+    frame(0.0)  # warm-up (compile)
+    times = []
+    for i, shift in enumerate(np.arange(0.1, 0.8, 0.1)):
+        t0 = time.perf_counter()
+        frame(shift)
+        times.append(time.perf_counter() - t0)
+    dt, _ = _median_iqr(times)
+    return {"ms_per_frame": round(dt * 1e3, 3)}
 
 
 def main():
-    try:
-        out = bench_whitted()
-    except Exception:
-        traceback.print_exc()
+    extras = {}
+    errors = {}
+    configs = [
+        ("whitted_shadows_256", bench_whitted_shadows),
+        ("cornell_mis_512", bench_cornell_path),
+        ("sppm_caustic_1024", bench_sppm_caustic),
+        ("mesh1m_whitted_256", bench_mesh_1m),
+        ("animated_relight_128", bench_animated_relight),
+    ]
+    only = os.environ.get("BENCH_ONLY")
+    for name, fn in configs:
+        if only and only not in name:
+            continue
         try:
-            out = bench_fallback_intersect()
-        except Exception:
+            extras[name] = fn()
+        except Exception as e:  # record, keep going
             traceback.print_exc()
-            out = {
-                "metric": "bench_failed",
-                "value": 0.0,
-                "unit": "Mrays/s",
-                "vs_baseline": 0.0,
-            }
+            extras[name] = None
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+    if errors:
+        extras["errors"] = errors
+
+    primary = extras.get("whitted_shadows_256")
+    if primary:
+        out = {
+            "metric": "whitted_shadows_256_mrays_per_sec",
+            "value": primary["mrays"],
+            "unit": "Mrays/s",
+            "vs_baseline": round(primary["mrays"] / NORTH_STAR_MRAYS, 4),
+            "extras": extras,
+        }
+    else:
+        out = {
+            "metric": "bench_failed",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "extras": extras,
+        }
     print(json.dumps(out))
 
 

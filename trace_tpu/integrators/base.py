@@ -50,14 +50,12 @@ class SamplerIntegrator:
         gx, gy = np.meshgrid(xs, ys, indexing="xy")
         return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
 
-    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
-    def _sample_pass(self, scene, state: FilmState, pixels, lane_valid, key,
-                     stratum_lo, stratum_scale):
-        """One sample per pixel for one chunk.
-        stratum_lo/scale ([2] f32) confine the film jitter to a stratum —
-        (0, 1) for the uniform sampler."""
-        return self._sample_body(
-            scene, state, pixels, lane_valid, key, stratum_lo, stratum_scale
+    def _li_with_aux(self, scene, rd, key):
+        """``(l, aux_scalar)`` — integrators that track a per-pass device
+        counter (e.g. Whitted specular-queue drops) override this; the
+        default has no counter."""
+        return self.li(scene, rd, key), jnp.sum(rd.o[..., 0] * 0.0).astype(
+            jnp.int32
         )
 
     def _stratum_arrays(self, s):
@@ -74,8 +72,9 @@ class SamplerIntegrator:
             return lo, scale
         return jnp.zeros(2, jnp.float32), jnp.ones(2, jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2,))
-    def _chunk_pass(self, scene, state: FilmState, pixels, lane_valid,
+    @functools.partial(jax.jit, static_argnums=(0, 1),
+                       donate_argnums=(2, 3))
+    def _chunk_pass(self, scene, state: FilmState, aux, pixels, lane_valid,
                     chunk_key, lights):
         """All spp samples for one chunk in ONE dispatch: a lax.fori_loop
         over the per-sample pass. One compile per chunk shape (the body is
@@ -89,17 +88,19 @@ class SamplerIntegrator:
         scene = scene.with_lights(lights)
         spp = self.sampler.samples_per_pixel
 
-        def body(s, st):
+        def body(s, carry):
             lo, scale = self._stratum_arrays(s)
             return self._sample_body(
-                scene, st, pixels, lane_valid,
+                scene, carry, pixels, lane_valid,
                 jax.random.fold_in(chunk_key, s), lo, scale,
             )
 
-        return jax.lax.fori_loop(0, spp, body, state)
+        return jax.lax.fori_loop(0, spp, body, (state, aux))
 
-    def _sample_body(self, scene, state, pixels, lane_valid, key, lo, scale):
-        """Unjitted body shared by _sample_pass (compat) and _chunk_pass."""
+    def _sample_body(self, scene, carry, pixels, lane_valid, key, lo, scale):
+        """Unjitted per-sample body of _chunk_pass; carry = (film state,
+        aux counter)."""
+        state, aux = carry
         spp = self.sampler.samples_per_pixel
         p_film, u_lens, u_time = get_camera_samples(
             jax.random.fold_in(key, 0), pixels
@@ -111,13 +112,14 @@ class SamplerIntegrator:
             p_film, u_lens, u_time
         )
         rd = scale_differentials(rd, np.float32(1.0 / np.sqrt(spp)))
-        l = self.li(scene, rd, jax.random.fold_in(key, 1))
+        l, aux_s = self._li_with_aux(scene, rd, jax.random.fold_in(key, 1))
         l = common.sanitize_radiance(l)
-        return self.camera.film.add_samples(
+        state = self.camera.film.add_samples(
             state, p_film,
             jnp.where(lane_valid[..., None], l, 0.0),
             jnp.where(lane_valid, weight, 0.0),
         )
+        return state, aux + aux_s
 
     def render(self, scene) -> FilmState:
         from ..lights.lights import num_lights
@@ -140,12 +142,14 @@ class SamplerIntegrator:
         if self.stats is not None:
             self.stats.start("render")
             # Per wavefront level: one closest-hit + one shadow ray per
-            # light for every queue lane.
+            # light for every queue lane (dispatch count, not a device
+            # measurement — dead lanes still occupy queue slots).
             self.stats.add("camera_samples", n * spp)
             self.stats.add(
-                "rays_traced",
+                "rays_dispatched",
                 n * spp * self.max_depth * (1 + num_lights(scene.lights)),
             )
+        aux = jnp.zeros((), jnp.int32)
         for ci, start in enumerate(range(0, n, chunk)):
             part = pixels[start:start + chunk]
             valid = np.ones(part.shape[0], bool)
@@ -156,11 +160,17 @@ class SamplerIntegrator:
             part, valid = jnp.asarray(part), jnp.asarray(valid)
             # All spp samples for the chunk in one dispatch (the spp loop
             # runs on device — keys/strata are derived inside the jit).
-            state = self._chunk_pass(
-                scene, state, part, valid, jax.random.fold_in(key, ci),
+            state, aux = self._chunk_pass(
+                scene, state, aux, part, valid, jax.random.fold_in(key, ci),
                 lights_dev,
             )
+        # Device scalar: Whitted specular-queue overflow drops (0 for
+        # integrators without a counter). Kept on device — reading it
+        # mid-run would poison the relay dispatch latency (§5b); tests
+        # and the opt-in stats path sync it once per render.
+        self.last_queue_drops = aux
         if self.stats is not None:
             jax.block_until_ready(state.xyz)
             self.stats.stop("render")
+            self.stats.add("specular_queue_drops", int(aux))
         return state

@@ -904,7 +904,7 @@ class SPPMIntegrator:
             self.stats.add("photon_vp_pairs", total)
             self.stats.add("camera_rays", n_pix)
             self.stats.add(
-                "rays_traced",
+                "rays_dispatched",
                 n_pix * self.max_depth * 2 + np_iter * self.max_depth,
             )
         phi, m_cnt = state.phi, state.m

@@ -67,14 +67,22 @@ def _compact(queue, capacity):
     return jax.tree.map(lambda x: x[order], queue)
 
 
-def li(scene, rd: RayDifferentials, key, max_depth: int = 5):
+def li(scene, rd: RayDifferentials, key, max_depth: int = 5,
+       queue_capacity: int | None = None, return_aux: bool = False):
     """Radiance for a megabatch of camera rays (sampler.jl:58-101).
 
-    Returns [N, 3]. The specular recursion is flattened into a depth loop
-    over a queue of capacity N; overflow children (more than N live lanes
-    after a branching level) are dropped deterministically.
+    Returns [N, 3] (or ``(l, aux)`` with ``aux["queue_drops"]`` a device
+    i32 scalar when ``return_aux``). The specular recursion is flattened
+    into a depth loop over a queue of capacity ``queue_capacity``
+    (default N); when a branching level produces more live children than
+    the capacity, the overflow is dropped deterministically (most-alive
+    kept) and **counted** into the aux scalar — no silent energy loss.
+    Glass-heavy scenes where drops are non-zero should raise the capacity
+    (``WhittedIntegrator(queue_capacity=2*chunk)`` doubles it at ~2x the
+    per-level cost).
     """
     n = rd.o.shape[0]
+    cap = n if queue_capacity is None else max(int(queue_capacity), n)
     queue = common.vary_like(
         dict(
             rd=rd,
@@ -84,10 +92,20 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5):
         ),
         rd.o[..., 0],
     )
+    if cap > n:  # pad the queue with dead lanes up to capacity
+        # Dead lanes replicate lane 0 (gather keeps the varying-axis type
+        # that fresh jnp.zeros constants would lose under shard_map);
+        # active=False masks their contributions.
+        pad_idx = jnp.concatenate(
+            [jnp.arange(n, dtype=jnp.int32),
+             jnp.zeros(cap - n, dtype=jnp.int32)]
+        )
+        queue = jax.tree.map(lambda x: x[pad_idx], queue)
+        queue["active"] = queue["active"] & (jnp.arange(cap) < n)
 
     def body(depth, carry):
         # depth is traced: one compiled body serves every level.
-        l_buf, queue = carry
+        l_buf, queue, drops = carry
         k_depth = jax.random.fold_in(key, depth)
         q_rd = queue["rd"]
         hit = scene.intersect(q_rd.o, q_rd.d, q_rd.t_max, q_rd.time)
@@ -126,20 +144,44 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5):
                 slot=queue["slot"],
                 active=ok,
             ))
-        queue = _compact(
-            jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *children),
-            n,
+        all_children = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *children
         )
-        return l_buf, queue
+        live = jnp.sum(all_children["active"].astype(jnp.int32))
+        drops = drops + jnp.maximum(live - cap, 0)
+        queue = _compact(all_children, cap)
+        return l_buf, queue, drops
 
     l_buf0 = common.vary_like(jnp.zeros((n, 3), F32), rd.o[..., 0])
-    l_buf, _ = jax.lax.fori_loop(1, max_depth + 1, body, (l_buf0, queue))
+    # Varying-derived zero scalar (vary_like handles ndim>=1 leaves only).
+    drops0 = jnp.sum(rd.o[..., 0] * 0.0).astype(jnp.int32)
+    l_buf, _, drops = jax.lax.fori_loop(
+        1, max_depth + 1, body, (l_buf0, queue, drops0)
+    )
+    if return_aux:
+        return l_buf, {"queue_drops": drops}
     return l_buf
 
 
 class WhittedIntegrator(SamplerIntegrator):
     """Drop-in equivalent of the reference's WhittedIntegrator functor
-    (sampler.jl:3-56); render loop inherited from SamplerIntegrator."""
+    (sampler.jl:3-56); render loop inherited from SamplerIntegrator.
+
+    ``queue_capacity`` bounds the specular wavefront queue (default: the
+    pixel-chunk lane count). Overflow children are counted — after
+    ``render()``, ``self.last_queue_drops`` (device i32) and the
+    ``specular_queue_drops`` stats field must be 0 for an energy-exact
+    render; raise the capacity otherwise."""
+
+    def __init__(self, *args, queue_capacity: int | None = None, **kw):
+        super().__init__(*args, **kw)
+        self.queue_capacity = queue_capacity
 
     def li(self, scene, rd, key):
-        return li(scene, rd, key, self.max_depth)
+        return li(scene, rd, key, self.max_depth,
+                  queue_capacity=self.queue_capacity)
+
+    def _li_with_aux(self, scene, rd, key):
+        l, aux = li(scene, rd, key, self.max_depth,
+                    queue_capacity=self.queue_capacity, return_aux=True)
+        return l, aux["queue_drops"]

@@ -28,7 +28,7 @@ class RenderStats:
         if name in self._timers:
             self.add(f"{name}_seconds", time.perf_counter() - self._timers.pop(name))
 
-    def mrays_per_sec(self, rays_key: str = "rays_traced",
+    def mrays_per_sec(self, rays_key: str = "rays_dispatched",
                       time_key: str = "render_seconds") -> float:
         t = self.counters.get(time_key, 0.0)
         return self.counters.get(rays_key, 0.0) / t / 1e6 if t else 0.0

@@ -40,6 +40,7 @@ class SceneBuilder:
         self._tri_light: list[np.ndarray] = []
         self._tri_count = 0
         self._light_entries: list[dict] = []
+        self._instanced: list = []
 
     def material(self, mat: Material) -> int:
         self._materials.append(mat)
@@ -73,6 +74,22 @@ class SceneBuilder:
         self._tri_light.append(np.full(n, light_id, np.int32))
         self._tri_count += n
 
+    def instanced_mesh(
+        self, indices, vertices, transforms, material: int,
+        normals=None, uv=None, material_ids=None,
+    ) -> None:
+        """Many transformed copies of one mesh sharing a single base-mesh
+        acceleration structure — the reference's nested-BVH capability
+        (bvh.jl:50-68) in two-level wavefront form (accel/instances.py).
+        Memory is O(mesh + len(transforms)); area-light emission is not
+        supported on instanced geometry."""
+        from .accel.instances import build_instances
+
+        self._instanced.append(build_instances(
+            indices, vertices, transforms, material_id=material,
+            normals=normals, uv=uv, material_ids=material_ids,
+        ))
+
     def light(self, entry: dict) -> None:
         self._light_entries.append(entry)
 
@@ -88,7 +105,7 @@ class SceneBuilder:
         )
         lights = light_mod.pack_lights(self._light_entries, tris)
         scene = Scene(spheres, tris, self._materials, lights, tri_light,
-                      chunk_size=chunk_size)
+                      chunk_size=chunk_size, instanced=self._instanced)
         if use_bvh is None:
             use_bvh = scene.n_triangles > 64
         if use_bvh and scene.n_triangles:
@@ -130,7 +147,7 @@ def _chunked_closest(intersect_fn, total, o, d, t_max, chunk):
 
 class Scene:
     def __init__(self, spheres, triangles, materials, lights, tri_light_id,
-                 chunk_size: int = 2048):
+                 chunk_size: int = 2048, instanced=None):
         # Geometry/light tables are HOST (numpy) pytrees by design: jitted
         # render passes close over them and XLA embeds them from host
         # memory for free. A device-array leaf would be read back (d2h)
@@ -146,7 +163,16 @@ class Scene:
         self.chunk_size = int(chunk_size)
         self.n_spheres = sph_mod.num_spheres(spheres)
         self.n_triangles = tri_mod.num_triangles(triangles)
+        self.instanced = list(instanced or [])
         self.accel = None  # optional accelerator (accel/*.attach)
+
+        # Global prim-id ranges: spheres [0, S), triangles [S, S+T), then
+        # each instanced geometry gets I * n_base ids.
+        off = self.n_spheres + self.n_triangles
+        self._instanced_offsets = []
+        for geom in self.instanced:
+            self._instanced_offsets.append(off)
+            off += geom.n_instances * geom.n_base
 
         # World bound + bounding sphere; preprocess lights with it
         # (the reference forgets: Trace.jl:184 TODO).
@@ -155,6 +181,8 @@ class Scene:
             bounds.append(sph_mod.world_bounds_np(spheres))
         if self.n_triangles:
             bounds.append(tri_mod.world_bounds_np(triangles))
+        for geom in self.instanced:
+            bounds.append(geom.world_bounds_np())
         if bounds:
             allb = np.concatenate(bounds, axis=0)
             lo, hi = allb[:, 0].min(0), allb[:, 1].max(0)
@@ -230,45 +258,83 @@ class Scene:
 
     def intersect(self, o, d, t_max, time=None) -> SurfaceHit:
         """Closest-hit over the whole scene -> SurfaceHit batch
-        (Trace.jl:189-193 + primitive.jl:12-20)."""
+        (Trace.jl:189-193 + primitive.jl:12-20). Candidate sources
+        (spheres, flat triangles, each instanced geometry) are reduced to
+        one winner per lane; detail records are built per source and
+        where-merged (ties break toward the earlier source, keeping the
+        historical sphere-over-triangle tie rule)."""
         n = o.shape[0]
         if time is None:
             time = jnp.zeros(n, F32)
         (hit_s, t_s, i_s), (hit_t, t_t, i_t) = self._closest_candidates(
             o, d, t_max
         )
-        use_tri = hit_t & (~hit_s | (t_t < t_s))
-        use_sph = hit_s & ~use_tri
 
-        if self.n_spheres and self.n_triangles:
-            rec_s = sph_mod.make_hit(
-                self.spheres, o, d, time, t_s, i_s, use_sph
-            )
-            rec_t = tri_mod.make_hit(
-                self.triangles, o, d, time, i_t, use_tri,
-                prim_offset=self.n_spheres,
-            )
-            sel = use_tri
-            rec = jax.tree.map(
-                lambda a, b: jnp.where(
-                    sel.reshape(sel.shape + (1,) * (a.ndim - sel.ndim)), a, b
-                ),
-                rec_t, rec_s,
-            )
-        elif self.n_spheres:
-            rec = sph_mod.make_hit(self.spheres, o, d, time, t_s, i_s, use_sph)
-        elif self.n_triangles:
-            rec = tri_mod.make_hit(self.triangles, o, d, time, i_t, use_tri)
-        else:
-            rec = empty_hit((n,))
+        # (hit, t, make_record(valid_mask)) per candidate source.
+        sources = []
+        if self.n_spheres:
+            sources.append((hit_s, t_s, lambda v, t_s=t_s, i_s=i_s:
+                            sph_mod.make_hit(self.spheres, o, d, time,
+                                             t_s, i_s, v)))
+        if self.n_triangles:
+            sources.append((hit_t, t_t, lambda v, i_t=i_t:
+                            tri_mod.make_hit(self.triangles, o, d, time,
+                                             i_t, v,
+                                             prim_offset=self.n_spheres)))
+        if self.instanced:
+            from .accel.instances import instanced_traverse, \
+                make_instanced_hit
+
+            for geom, offset in zip(self.instanced,
+                                    self._instanced_offsets):
+                h_g, t_g, tri_g, inst_g = instanced_traverse(
+                    geom, o, d, t_max
+                )
+                sources.append((
+                    h_g, t_g,
+                    lambda v, geom=geom, tri_g=tri_g, inst_g=inst_g,
+                           offset=offset:
+                    make_instanced_hit(geom, o, d, time, tri_g, inst_g, v,
+                                       prim_offset=offset),
+                ))
+
+        if not sources:
+            return empty_hit((n,))
+        ts = jnp.stack(
+            [jnp.where(h, t, jnp.inf) for h, t, _ in sources], axis=0
+        )
+        win = jnp.argmin(ts, axis=0)  # first minimum -> earlier source
+        rec = None
+        for k, (h_k, _, make_k) in enumerate(sources):
+            valid_k = h_k & (win == k)
+            rec_k = make_k(valid_k)
+            if rec is None:
+                rec = rec_k
+            else:
+                sel = valid_k
+                rec = jax.tree.map(
+                    lambda a, b: jnp.where(
+                        sel.reshape(sel.shape + (1,) * (a.ndim - sel.ndim)),
+                        a, b,
+                    ),
+                    rec_k, rec,
+                )
         return rec
 
     def intersect_p(self, o, d, t_max):
         """Any-hit occlusion over the whole scene (Trace.jl:194)."""
         n = o.shape[0]
         occ = jnp.zeros(n, bool)
+        if self.instanced:
+            from .accel.instances import instanced_traverse
+
+            for geom in self.instanced:
+                h_g, t_g, _, _ = instanced_traverse(
+                    geom, o, d, t_max, any_hit=True
+                )
+                occ = occ | (h_g & (t_g <= t_max))
         if self.accel is not None:
-            return self.accel.any_hit(self, o, d, t_max)
+            return occ | self.accel.any_hit(self, o, d, t_max)
         if self.n_spheres:
             for start in range(0, self.n_spheres, self.chunk_size):
                 c = min(self.chunk_size, self.n_spheres - start)
@@ -329,8 +395,13 @@ class Scene:
         if self.max_area_tris == 0 or self.n_triangles == 0:
             return jnp.zeros((n, 3), F32)
         tri_idx = jnp.clip(hit.prim_id - self.n_spheres, 0, self.n_triangles - 1)
+        # Instanced prim ids sit above the flat-triangle range and never
+        # carry area-light emission.
+        is_flat_tri = (hit.prim_id >= self.n_spheres) & (
+            hit.prim_id < self.n_spheres + self.n_triangles
+        )
         lid = jnp.where(
-            hit.valid & (hit.prim_id >= self.n_spheres),
+            hit.valid & is_flat_tri,
             jnp.asarray(self.tri_light_id)[tri_idx],
             -1,
         )

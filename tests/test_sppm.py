@@ -216,14 +216,20 @@ def test_fused_iteration_blocks_match_stepwise():
 
     scene = build_scene()
 
-    def run(fused):
+    def run(fused, fused_block=8):
         cam = build_camera(resolution=16, filename="/tmp/sppm_f.png")
         integ = SPPMIntegrator(
-            cam, initial_search_radius=0.3, max_depth=2, n_iterations=3,
+            cam, initial_search_radius=0.3, max_depth=2, n_iterations=5,
             photons_per_iteration=256, pixel_chunk=128,
-            fused_iterations=fused,
+            fused_iterations=fused, fused_block=fused_block,
         )
         st = integ.render(scene)
-        return np.asarray(integ.to_image(st, 3))
+        return np.asarray(integ.to_image(st, 5))
 
-    np.testing.assert_allclose(run(True), run(False), rtol=1e-6, atol=1e-7)
+    stepwise = run(False)
+    np.testing.assert_allclose(run(True), stepwise, rtol=1e-6, atol=1e-7)
+    # The dispatch-length cap (blocks 2+2+1) must cross block boundaries
+    # bit-compatibly — state threads through, keys stay iteration-keyed.
+    np.testing.assert_allclose(
+        run(True, fused_block=2), stepwise, rtol=1e-6, atol=1e-7
+    )

@@ -134,7 +134,7 @@ class SPPMIntegrator:
                  pixel_chunk: int = 1 << 16, pair_chunk: int = 1 << 19,
                  seed: int = 0, stats=None, mesh=None,
                  shard_axis: str = "photons", shard_camera: bool = False,
-                 fused_iterations: bool = False):
+                 fused_iterations: bool = False, fused_block: int = 8):
         self.stats = stats
         self.mesh = mesh            # jax.sharding.Mesh -> SPMD photon/pair
         self.shard_axis = shard_axis
@@ -157,25 +157,18 @@ class SPPMIntegrator:
         self.pair_chunk = int(pair_chunk)
         self.seed = int(seed)
         # Whole iteration blocks as one dispatch (_iterations_fused):
-        # verified bit-exact vs stepwise on CPU (tested), but long blocks
-        # fault the TPU runtime through the current relay (isolated on
-        # v5e: 3-iteration blocks run and produce correct tau, 100-
-        # iteration blocks die with a device error regardless of depth/
-        # resolution), so it is opt-in. The merged per-phase dispatches
-        # already bring a warm 1024^2 iteration to ~5 ms.
+        # verified bit-exact vs stepwise on CPU (tested). Long unbounded
+        # blocks fault the TPU runtime through the relay (round-1
+        # isolation: 3-iteration blocks ran, 100-iteration blocks died),
+        # so render() caps each dispatch at ``fused_block`` iterations —
+        # the round-2 on-chip bisect (PARITY.md notes) found capped
+        # blocks stable where monolithic ones faulted.
         self.fused_iterations = bool(fused_iterations)
+        self.fused_block = max(1, int(fused_block))
 
     # ------------------------------------------------------------------
     # Phase 1: camera pass
     # ------------------------------------------------------------------
-
-    @functools.partial(jax.jit, static_argnums=(0, 1))
-    def _camera_pass_chunk(self, scene, pixels, lane_valid, key, lights):
-        # lights threaded as a traced arg: frame relights reuse this
-        # executable (see Scene.with_lights).
-        return self._camera_pass_body(
-            scene.with_lights(lights), pixels, lane_valid, key
-        )
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _camera_pass_all(self, scene, pixels, lane_valid, it_key, lights):
@@ -394,19 +387,6 @@ class SPPMIntegrator:
     # ------------------------------------------------------------------
     # Phase 3: photon walk
     # ------------------------------------------------------------------
-
-    @functools.partial(jax.jit, static_argnums=(0, 1))
-    def _photon_walk_chunk(self, scene, halton_idx, lane_valid,
-                           light_cdf, light_pmf,
-                           grid_lo, grid_res, grid_inv_extent, sorted_cells,
-                           lights):
-        # lights threaded as a traced arg: frame relights reuse this
-        # executable (see Scene.with_lights).
-        return self._photon_walk_body(
-            scene.with_lights(lights), halton_idx, lane_valid,
-            light_cdf, light_pmf,
-            grid_lo, grid_res, grid_inv_extent, sorted_cells,
-        )
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _photon_walk_all(self, scene, halton_base, light_cdf, light_pmf,
@@ -736,6 +716,10 @@ class SPPMIntegrator:
                     )
                 else:
                     stop = iters
+                # Cap the dispatch length: a bounded block is one compile
+                # (shared by every full block) and stays under the relay's
+                # fault threshold for long fused programs.
+                stop = min(stop, it + self.fused_block - 1)
                 state = self._iterations_fused(
                     scene, state, stop - it + 1, jnp.int32(it),
                     part_j, valid_j, key, light_cdf, light_pmf, lights_dev,
@@ -782,7 +766,7 @@ class SPPMIntegrator:
                           it_start, pixels, lane_valid, key,
                           light_cdf, light_pmf, lights) -> SPPMState:
         """``n_iters`` full SPPM iterations as ONE dispatch — the whole
-        五-phase loop (camera, grid, photons, pair reduction, pixel
+        five-phase loop (camera, grid, photons, pair reduction, pixel
         update) is device-side with no host round-trips. Key schedule,
         Halton indexing and splat layout match step() exactly. Used by
         render() between snapshot/checkpoint boundaries on the

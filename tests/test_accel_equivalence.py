@@ -66,6 +66,49 @@ def test_all_accelerators_agree():
     np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)
 
 
+def test_two_level_super_clusters_agree():
+    # super_size > 1 (two-level entry, VERDICT r1 item 3) must be exact:
+    # super entries lower-bound member cluster entries, so the early-out
+    # stays conservative. Test both closest and any-hit, odd C (padding).
+    tris = _soup(400, seed=7)
+    o, d = _rays(256, seed=8)
+    t_max = jnp.full(256, jnp.inf)
+    bh, bt, bi = _brute(tris, o, d, t_max)
+
+    for g in (4, 16):
+        acc = CL.build_clusters(tris, leaf_tris=16, super_size=g)
+        assert acc.super_size == g
+        assert acc.c_lo.shape[0] % g == 0  # padded to whole supers
+        h, t, i = CL.traverse(acc, o, d, t_max, 16, False)
+        np.testing.assert_array_equal(np.asarray(h), bh, err_msg=f"g={g}")
+        np.testing.assert_allclose(
+            np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4
+        )
+
+        t_short = jnp.full(256, 4.0)
+        hit, tt = tri_mod.intersect_all(tris, o, d, t_short)
+        bf_occ = np.asarray(jnp.any(hit & (tt <= t_short[:, None]), axis=-1))
+        h, t, _ = CL.traverse(acc, o, d, t_short, 16, True)
+        np.testing.assert_array_equal(
+            np.asarray(h) & (np.asarray(t) <= 4.0), bf_occ
+        )
+
+    # Refit keeps super bounds in sync.
+    acc = CL.build_clusters(tris, leaf_tris=16, super_size=8)
+    shift = np.float32([0.3, -0.2, 0.1])
+    moved = jax.tree.map(np.asarray, tris)
+    import dataclasses
+    moved = dataclasses.replace(
+        moved, v0=moved.v0 + shift, v1=moved.v1 + shift, v2=moved.v2 + shift
+    )
+    refit = CL.refit_clusters(acc, moved.v0, moved.v1, moved.v2)
+    bh2, bt2, _ = _brute(moved, o, d, t_max)
+    h, t, _ = CL.traverse(refit, o, d, t_max, 16, False)
+    np.testing.assert_array_equal(np.asarray(h), bh2)
+    np.testing.assert_allclose(np.asarray(t)[bh2], bt2[bh2], atol=1e-3,
+                               rtol=1e-4)
+
+
 def test_any_hit_agrees():
     tris = _soup(400, seed=3)
     o, d = _rays(256, seed=4)

@@ -34,21 +34,32 @@ from .bvh import LinearBVH, build_bvh
 F32 = jnp.float32
 
 
-@pytree(static=("leaf_tris",))
+@pytree(static=("leaf_tris", "super_size"))
 class ClusterAccel:
     """Triangle data is packed row-major per cluster so the per-round
     fetch is a contiguous-row gather (embedding-lookup shape) — TPU
     gathers of full rows are DMA-friendly, strided [C, L, 3] gathers are
-    not (measured 30x difference)."""
+    not (measured 30x difference).
+
+    Two-level entry (round-2, VERDICT item 3): the per-ray entry table is
+    computed over SUPER-clusters — unions of ``super_size`` consecutive
+    clusters in the depth-first SAH-cut order (spatially local by
+    construction) — shrinking the [N, C] table to [N, C/G]. A super's
+    slab entry distance lower-bounds every member cluster's, so the
+    demand order and the suffix-min early-out stay conservative: lanes
+    never retire early, hits are never dropped."""
 
     c_lo: jnp.ndarray     # [C, 3]
     c_hi: jnp.ndarray     # [C, 3]
+    s_lo: jnp.ndarray     # [S, 3] super-cluster AABBs (S = ceil(C/G))
+    s_hi: jnp.ndarray     # [S, 3]
     packed: jnp.ndarray   # [C, P] f32; row = v0.flat | v1.flat | v2.flat
                           # (each L*3), padded to a multiple of 128
     packed_mt: jnp.ndarray  # [C, 16*L] f32; row = n|e1|e2|w|q (3L each)
                             # then v0n (L) — Moller-Trumbore matmul consts
     tri_id: jnp.ndarray   # [C, Lp] int32 global triangle id; -1 = padding
     leaf_tris: int
+    super_size: int
 
 
 def _subtree_ranges(bvh: LinearBVH):
@@ -78,8 +89,22 @@ def _subtree_ranges(bvh: LinearBVH):
     return count, range_start
 
 
+def _super_bounds(c_lo: np.ndarray, c_hi: np.ndarray, g: int):
+    """Union AABBs of groups of g consecutive clusters (depth-first cut
+    order keeps neighbors spatially local). Padding groups inherit the
+    last cluster's box (harmless: their members are real clusters)."""
+    c = c_lo.shape[0]
+    pad = (-c) % g
+    lo = np.concatenate([c_lo, np.repeat(c_lo[-1:], pad, axis=0)])
+    hi = np.concatenate([c_hi, np.repeat(c_hi[-1:], pad, axis=0)])
+    s_lo = lo.reshape(-1, g, 3).min(axis=1)
+    s_hi = hi.reshape(-1, g, 3).max(axis=1)
+    return np.ascontiguousarray(s_lo), np.ascontiguousarray(s_hi)
+
+
 def build_clusters(tris: tri_mod.Triangles, leaf_tris: int = 32,
-                   max_prims_per_leaf: int = 4) -> ClusterAccel:
+                   max_prims_per_leaf: int = 4,
+                   super_size: int = 1) -> ClusterAccel:
     """Build the SAH tree, then cut it at subtrees of <= leaf_tris prims."""
     bounds = tri_mod.world_bounds_np(tris)
     bvh = build_bvh(bounds, max_prims_per_leaf)
@@ -154,9 +179,22 @@ def build_clusters(tris: tri_mod.Triangles, leaf_tris: int = 32,
     # Host (numpy) leaves: traversal jits close over the accel and XLA
     # embeds host arrays for free; device leaves would d2h at trace time
     # (relay poison — see Scene.__init__).
+    g = max(1, int(super_size))
+    s_lo, s_hi = _super_bounds(c_lo, c_hi, g)
+    if g > 1:
+        # Pad the cluster tables to a whole number of super groups so the
+        # super-permutation expands to valid cluster rows; padded rows
+        # have tri_id -1 / zero MT consts (det = 0, never hit).
+        pad = (-c) % g
+        if pad:
+            c_lo = np.concatenate([c_lo, np.repeat(c_lo[-1:], pad, 0)])
+            c_hi = np.concatenate([c_hi, np.repeat(c_hi[-1:], pad, 0)])
+            packed = np.pad(packed, ((0, pad), (0, 0)))
+            packed_mt = np.pad(packed_mt, ((0, pad), (0, 0)))
+            tri_id = np.pad(tri_id, ((0, pad), (0, 0)), constant_values=-1)
     return ClusterAccel(
         np.ascontiguousarray(c_lo), np.ascontiguousarray(c_hi),
-        packed, packed_mt, tri_id, leaf_tris,
+        s_lo, s_hi, packed, packed_mt, tri_id, leaf_tris, g,
     )
 
 
@@ -200,16 +238,18 @@ def refit_clusters(accel: ClusterAccel, v0, v1, v2) -> ClusterAccel:
     )
     import dataclasses
 
+    s_lo, s_hi = _super_bounds(lo_b, hi_b, accel.super_size)
     return dataclasses.replace(
-        accel, c_lo=lo_b, c_hi=hi_b, packed=packed, packed_mt=packed_mt
+        accel, c_lo=lo_b, c_hi=hi_b, s_lo=s_lo, s_hi=s_hi,
+        packed=packed, packed_mt=packed_mt,
     )
 
 
-def _cluster_entry(accel: ClusterAccel, o, d, t_max):
-    """Slab entry distance per (ray, cluster): [N, C], inf on miss."""
+def _entry_boxes(lo, hi, o, d, t_max):
+    """Slab entry distance per (ray, box): [N, B], inf on miss."""
     inv_d = 1.0 / d
-    t0 = (accel.c_lo[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
-    t1 = (accel.c_hi[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
+    t0 = (lo[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
+    t1 = (hi[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
     near = jnp.minimum(t0, t1)
     far = jnp.maximum(t0, t1)
     near = jnp.where(jnp.isnan(near), -jnp.inf, near)
@@ -218,6 +258,11 @@ def _cluster_entry(accel: ClusterAccel, o, d, t_max):
     tf = jnp.min(far, axis=-1) * 1.00000024
     hit = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None])
     return jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+
+
+def _cluster_entry(accel: ClusterAccel, o, d, t_max):
+    """Slab entry distance per (ray, cluster): [N, C], inf on miss."""
+    return _entry_boxes(accel.c_lo, accel.c_hi, o, d, t_max)
 
 
 def _test_stage(accel: ClusterAccel, stage, h, perm, o, d, limit):
@@ -306,26 +351,55 @@ def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
     """
     n = o.shape[0]
     c = accel.c_lo.shape[0]
-    h = min(stage_clusters, c)
+    g = accel.super_size
     # np (host) leaves -> jnp so the traced row gathers below work.
     accel = jax.tree.map(jnp.asarray, accel)
-    entry = _cluster_entry(accel, o, d, t_max)           # [N, C]
 
-    # Global demand order (one small sort) + per-lane suffix minima.
-    demand = jnp.sum(jnp.isfinite(entry), axis=0)
-    perm = jnp.argsort(-demand).astype(jnp.int32)        # [C]
-    entry_g = jnp.take(entry, perm, axis=1)              # column permute
-    # The early-out only ever reads the suffix minimum at STAGE
-    # boundaries, so reduce per stage first ([N, C] -> [N, S]) and
-    # reverse-cummin over the S stages — h x less scan traffic than the
-    # per-column suffix scan (C can be ~10k for 1M-triangle scenes).
-    n_stages = -(-c // h)
-    pad_c = n_stages * h - c
-    entry_stage = jnp.min(
-        jnp.pad(entry_g, ((0, 0), (0, pad_c)), constant_values=jnp.inf)
-        .reshape(n, n_stages, h),
-        axis=2,
-    )                                                     # [N, S]
+    if g > 1:
+        # Two-level: the [N, C] table shrinks to [N, C/G] super entries.
+        # A super's entry lower-bounds its members', so demand order and
+        # suffix-min early-out stay conservative (exactness preserved).
+        h = max(g, (min(stage_clusters, c) // g) * g)
+        h_s = h // g
+        entry = _entry_boxes(accel.s_lo, accel.s_hi, o, d, t_max)  # [N, S]
+        s_count = entry.shape[1]
+        demand = jnp.sum(jnp.isfinite(entry), axis=0)
+        perm_s = jnp.argsort(-demand).astype(jnp.int32)            # [S]
+        entry_g = jnp.take(entry, perm_s, axis=1)
+        n_stages = -(-s_count // h_s)
+        pad_s = n_stages * h_s - s_count
+        entry_stage = jnp.min(
+            jnp.pad(entry_g, ((0, 0), (0, pad_s)), constant_values=jnp.inf)
+            .reshape(n, n_stages, h_s),
+            axis=2,
+        )
+        # Super perm -> cluster perm (build pads C to S*G, so every
+        # expanded id is a valid row; padded rows never hit).
+        perm = (
+            perm_s[:, None] * g + jnp.arange(g, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+        perm = jnp.pad(perm, (0, pad_s * g + h))
+    else:
+        h = min(stage_clusters, c)
+        entry = _cluster_entry(accel, o, d, t_max)           # [N, C]
+
+        # Global demand order (one small sort) + per-lane suffix minima.
+        demand = jnp.sum(jnp.isfinite(entry), axis=0)
+        perm = jnp.argsort(-demand).astype(jnp.int32)        # [C]
+        entry_g = jnp.take(entry, perm, axis=1)              # column permute
+        # The early-out only ever reads the suffix minimum at STAGE
+        # boundaries, so reduce per stage first ([N, C] -> [N, S]) and
+        # reverse-cummin over the S stages — h x less scan traffic than
+        # the per-column suffix scan (C can be ~10k at 1M triangles).
+        n_stages = -(-c // h)
+        pad_c = n_stages * h - c
+        entry_stage = jnp.min(
+            jnp.pad(entry_g, ((0, 0), (0, pad_c)), constant_values=jnp.inf)
+            .reshape(n, n_stages, h),
+            axis=2,
+        )                                                     # [N, S]
+        perm = jnp.pad(perm, (0, pad_c + h))
+
     stage_suffix = jax.lax.associative_scan(
         jnp.minimum, entry_stage, reverse=True, axis=1
     )
@@ -334,7 +408,6 @@ def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
     stage_suffix = jnp.pad(
         stage_suffix, ((0, 0), (0, 1)), constant_values=jnp.inf
     )
-    perm = jnp.pad(perm, (0, pad_c + h))
 
     def cond(state):
         s, best_t, best_i, done = state
@@ -471,12 +544,14 @@ class ClusterAccelerator:
 
 
 def attach(scene, leaf_tris: int = 32, stage_clusters: int = 64,
-           max_prims_per_leaf: int = 4, ray_chunk: int = 16384):
+           max_prims_per_leaf: int = 4, ray_chunk: int = 16384,
+           super_size: int = 1):
     """Build the cluster accelerator for the scene and install it."""
     if scene.n_triangles == 0:
         return scene
     tris = getattr(scene, "triangles_host", scene.triangles)
-    accel = build_clusters(tris, leaf_tris, max_prims_per_leaf)
+    accel = build_clusters(tris, leaf_tris, max_prims_per_leaf,
+                           super_size=super_size)
     scene.bump_version()
     scene.accel = ClusterAccelerator(accel, stage_clusters, ray_chunk)
     return scene

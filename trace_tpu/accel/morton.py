@@ -110,11 +110,14 @@ def _build(v0, v1, v2, leaf_tris: int):
 
 
 def build_clusters_device(tris, leaf_tris: int = 32) -> ClusterAccel:
-    """Fully on-device cluster build from a Triangles SoA."""
+    """Fully on-device cluster build from a Triangles SoA (single-level:
+    super_size 1, so s_lo/s_hi alias the cluster boxes and are unused by
+    traverse)."""
     lo_b, hi_b, packed, packed_mt, tri_id = _build(
         tris.v0, tris.v1, tris.v2, leaf_tris
     )
-    return ClusterAccel(lo_b, hi_b, packed, packed_mt, tri_id, leaf_tris)
+    return ClusterAccel(lo_b, hi_b, lo_b, hi_b, packed, packed_mt, tri_id,
+                        leaf_tris, 1)
 
 
 def attach(scene, leaf_tris: int = 32, stage_clusters: int = 64,

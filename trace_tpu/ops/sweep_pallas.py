@@ -1,0 +1,346 @@
+"""Pallas per-ray-block sparse sweep — the hot-path traversal kernel.
+
+The XLA cluster sweep (accel/clusters.py) uses ONE global demand order
+for a whole 16-65k-ray chunk: every stage tests every lane, and a
+semi-coherent chunk pays for the union of all its blocks' working sets.
+This kernel gives each 512-ray block its OWN demand order and early-out,
+with the whole per-stage pipeline fused in VMEM:
+
+- Per block, XLA precomputes the demand-ordered super-cluster id list and
+  the suffix-min of entry distances (both tiny: [NB, S]); they sit in
+  SMEM for scalar control flow.
+- The kernel walks the list with a device-side while loop: one DMA pulls
+  the super's Moller-Trumbore constant panel [16, G*L] from HBM into
+  VMEM, six [B,3] @ [3, G*L] MXU matmuls evaluate the whole
+  (block x super) test grid, and the epilogue (sign fixup, u/v/t bounds,
+  per-lane min + id select) never leaves VMEM — the [B, G*L] grid that
+  the XLA sweep streams through HBM does not exist here.
+- The block retires when the next suffix-min exceeds every live lane's
+  best hit — the same conservative early-out as the cluster sweep
+  (clusters.py:traverse), at block granularity.
+
+Exactness: the id list covers every super the block's rays enter (the
+suffix turns +inf exactly where entered supers end), entries lower-bound
+member clusters, and the padded tail rows carry zero constants (det = 0,
+never hit). tests/test_sweep_pallas.py checks the kernel (interpret mode)
+against the brute-force watertight oracle.
+
+Reference economics target: bvh.jl:212-299's per-ray early-out, which the
+global sweep only approximates for incoherent (bounce-2+) rays.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..shapes import sphere as sph_mod
+from ..accel.clusters import ClusterAccel, build_clusters, _entry_boxes, \
+    _sort_key
+
+F32 = jnp.float32
+RAY_ROWS = 16   # o(3) d(3) m(3) tmax(1) pad(6) -> one sublane tile
+
+
+class SweepTables:
+    """Host-packed kernel tables derived from a ClusterAccel."""
+
+    def __init__(self, accel: ClusterAccel, group: int = 8):
+        l = accel.leaf_tris
+        c = np.asarray(accel.tri_id).shape[0]
+        g = int(group)
+        pad_c = (-c) % g
+        # packed_mt rows: n|e1|e2|w|q (3l each) then v0n (l) = 16l floats.
+        mt = np.asarray(accel.packed_mt)[:, :16 * l]
+        tid = np.asarray(accel.tri_id)[:, :l]
+        c_lo = np.asarray(accel.c_lo)
+        c_hi = np.asarray(accel.c_hi)
+        if pad_c:
+            mt = np.pad(mt, ((0, pad_c), (0, 0)))
+            tid = np.pad(tid, ((0, pad_c), (0, 0)), constant_values=-1)
+            c_lo = np.concatenate([c_lo, np.repeat(c_lo[-1:], pad_c, 0)])
+            c_hi = np.concatenate([c_hi, np.repeat(c_hi[-1:], pad_c, 0)])
+        s = (c + pad_c) // g
+        gl = g * l
+        self.gl_pad = -(-gl // 128) * 128
+        # [S, 16, GL]: row k = component k across the super's g clusters.
+        panel = mt.reshape(s, g, 16, l).transpose(0, 2, 1, 3).reshape(
+            s, 16, gl
+        )
+        self.panel = np.ascontiguousarray(
+            np.pad(panel, ((0, 0), (0, 0), (0, self.gl_pad - gl)))
+        ).astype(np.float32)
+        self.tid = np.ascontiguousarray(np.pad(
+            tid.reshape(s, gl), ((0, 0), (0, self.gl_pad - gl)),
+            constant_values=-1,
+        )).astype(np.int32)
+        self.s_lo = np.ascontiguousarray(
+            c_lo.reshape(s, g, 3).min(axis=1))
+        self.s_hi = np.ascontiguousarray(
+            c_hi.reshape(s, g, 3).max(axis=1))
+        self.n_supers = s
+        self.group = g
+        self.leaf_tris = l
+
+
+def _sweep_kernel(any_hit, n_supers,
+                  idx_ref, suffix_ref,            # SMEM per block
+                  rays_ref,                        # VMEM [16, B]
+                  panel_hbm, tid_hbm,              # HBM full tables
+                  bt_out, bi_out,                  # VMEM [1, B] outputs
+                  panel_buf, tid_buf, sem, sem_i):
+    b = rays_ref.shape[1]
+    o_x, o_y, o_z = rays_ref[0, :], rays_ref[1, :], rays_ref[2, :]
+    d_x, d_y, d_z = rays_ref[3, :], rays_ref[4, :], rays_ref[5, :]
+    m_x, m_y, m_z = rays_ref[6, :], rays_ref[7, :], rays_ref[8, :]
+    t_lim = rays_ref[9, :]                        # [B]
+
+    o_m = jnp.stack([o_x, o_y, o_z], axis=0)      # [3, B]
+    d_m = jnp.stack([d_x, d_y, d_z], axis=0)
+    m_m = jnp.stack([m_x, m_y, m_z], axis=0)
+
+    def mm(a, rhs):  # [3, B] x [3, GL] -> [B, GL]
+        return jax.lax.dot_general(
+            a, rhs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def body(state):
+        s, best_t, best_i = state
+        sid = idx_ref[0, s]
+        cp = pltpu.make_async_copy(panel_hbm.at[sid], panel_buf, sem)
+        ci = pltpu.make_async_copy(tid_hbm.at[sid], tid_buf.at[0], sem_i)
+        cp.start()
+        ci.start()
+        cp.wait()
+        ci.wait()
+
+        n_p = panel_buf[0:3, :]
+        e1_p = panel_buf[3:6, :]
+        e2_p = panel_buf[6:9, :]
+        w_p = panel_buf[9:12, :]
+        q_p = panel_buf[12:15, :]
+        v0n = panel_buf[15:16, :]                  # [1, GL]
+        tid = tid_buf[0:1, :]                      # [1, GL]
+
+        det = -mm(d_m, n_p)
+        u_det = mm(m_m, e2_p) - mm(d_m, w_p)
+        v_det = -mm(m_m, e1_p) - mm(d_m, q_p)
+        t_det = mm(o_m, n_p) - v0n
+        sign = jnp.where(det < 0.0, -1.0, 1.0)
+        adet = det * sign
+        u = u_det * sign
+        v = v_det * sign
+        tn = t_det * sign
+        t = tn / jnp.where(adet > 1e-12, adet, 1.0)
+        limit = jnp.minimum(best_t, t_lim)[:, None]   # [B, 1]
+        ok = (
+            (adet > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= adet)
+            & (tn > 0.0) & (t < limit) & (tid >= 0)
+        )
+        t = jnp.where(ok, t, jnp.inf)
+        tmin = jnp.min(t, axis=1)                     # [B]
+        # Gather-free id select: min id among slots equal to the min.
+        ids = jnp.min(
+            jnp.where(t <= tmin[:, None], tid, jnp.int32(0x7FFFFFFF)),
+            axis=1,
+        )
+        better = tmin < best_t
+        best_t = jnp.where(better, tmin, best_t)
+        best_i = jnp.where(better, ids, best_i)
+        return (s + 1, best_t, best_i)
+
+    def cond(state):
+        s, best_t, best_i = state
+        if any_hit:
+            lane_limit = jnp.where(best_t <= t_lim, -jnp.inf, t_lim)
+        else:
+            lane_limit = jnp.minimum(best_t, t_lim)
+        return (s < n_supers) & (suffix_ref[0, s] < jnp.max(lane_limit))
+
+    init = (
+        jnp.int32(0),
+        jnp.full((b,), jnp.inf, F32),
+        jnp.full((b,), jnp.int32(0x7FFFFFFF)),
+    )
+    _, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    found = best_i != jnp.int32(0x7FFFFFFF)
+    bt_out[0, :] = jnp.where(found, best_t, jnp.inf)
+    bi_out[0, :] = jnp.where(found, best_i, -1)
+
+
+class PallasSweepAccelerator:
+    """Scene accelerator driving the sparse sweep kernel (same interface
+    as accel.clusters.ClusterAccelerator). Triangle tables live in HBM;
+    per-block order/suffix tables are built by XLA per ray chunk."""
+
+    def __init__(self, accel: ClusterAccel, group: int = 8,
+                 block_rays: int = 512, ray_chunk: int = 16384,
+                 sort_rays: bool = True, interpret: bool = False):
+        self.clusters = accel
+        self.tables = SweepTables(accel, group)
+        self.block_rays = int(block_rays)
+        self.ray_chunk = int(ray_chunk)
+        self.sort_rays = bool(sort_rays)
+        self.interpret = bool(interpret)
+        lo = self.tables.s_lo.min(axis=0)
+        hi = self.tables.s_hi.max(axis=0)
+        self._world_lo = lo
+        self._world_inv_extent = (
+            1.0 / np.maximum(hi - lo, 1e-12)
+        ).astype(np.float32)
+
+    # -- kernel invocation over one chunk ---------------------------------
+    def _traverse_chunk(self, o, d, t_max, any_hit):
+        tb = self.tables
+        b = self.block_rays
+        n = o.shape[0]
+        pad = (-n) % b
+        npad = n + pad
+        nb = npad // b
+        s_count = tb.n_supers
+
+        o_p = jnp.pad(o, ((0, pad), (0, 0)))
+        d_p = jnp.pad(d, ((0, pad), (0, 0)))
+        t_p = jnp.pad(
+            jnp.where(jnp.isfinite(t_max), t_max, F32(3e38)),
+            (0, pad), constant_values=-1.0,   # dead padded lanes
+        )
+
+        # Per-block demand order + suffix over SUPER entries.
+        entry = _entry_boxes(
+            jnp.asarray(tb.s_lo), jnp.asarray(tb.s_hi), o_p, d_p,
+            jnp.maximum(t_p, 0.0),
+        )                                           # [Np, S]
+        entry = jnp.where(t_p[:, None] < 0.0, jnp.inf, entry)
+        entry_b = jnp.min(entry.reshape(nb, b, s_count), axis=1)  # [NB, S]
+        order = jnp.argsort(entry_b, axis=1).astype(jnp.int32)    # near-first
+        entry_o = jnp.take_along_axis(entry_b, order, axis=1)
+        suffix = jax.lax.associative_scan(
+            jnp.minimum, entry_o, reverse=True, axis=1
+        )
+        suffix = jnp.pad(suffix, ((0, 0), (0, 1)),
+                         constant_values=jnp.inf)
+
+        m = jnp.cross(o_p, d_p)
+        pack = jnp.stack(
+            [o_p[:, 0], o_p[:, 1], o_p[:, 2],
+             d_p[:, 0], d_p[:, 1], d_p[:, 2],
+             m[:, 0], m[:, 1], m[:, 2], t_p], axis=0,
+        ).reshape(10, nb, b).transpose(1, 0, 2)        # [NB, 10, B]
+        rays = jnp.pad(pack, ((0, 0), (0, RAY_ROWS - 10), (0, 0)))
+
+        gl = tb.gl_pad
+        kernel = functools.partial(_sweep_kernel, any_hit, s_count)
+        bt, bi = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, s_count + 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, s_count + 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((RAY_ROWS, b), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, b), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, b), F32),
+                jax.ShapeDtypeStruct((nb, b), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((16, gl), jnp.float32),
+                pltpu.VMEM((1, gl), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=self.interpret,
+        )(
+            jnp.pad(order, ((0, 0), (0, 1))),
+            suffix,
+            rays.reshape(nb * RAY_ROWS, b),
+            jnp.asarray(tb.panel),
+            jnp.asarray(tb.tid),
+        )
+        bt = bt.reshape(-1)[:n]
+        bi = bi.reshape(-1)[:n]
+        hit = (bi >= 0) & (bt <= t_max)
+        return hit, jnp.where(hit, bt, jnp.inf), jnp.maximum(bi, 0)
+
+    def _chunked(self, o, d, t_max, any_hit):
+        n = o.shape[0]
+        if n <= self.ray_chunk and not self.sort_rays:
+            return self._traverse_chunk(o, d, t_max, any_hit)
+        order = None
+        if self.sort_rays:
+            key = _sort_key(
+                o, d, jnp.asarray(self._world_lo),
+                jnp.asarray(self._world_inv_extent),
+            )
+            order = jnp.argsort(key)
+            o, d, t_max = o[order], d[order], t_max[order]
+        outs = []
+        for s in range(0, n, self.ray_chunk):
+            e = min(s + self.ray_chunk, n)
+            outs.append(
+                self._traverse_chunk(o[s:e], d[s:e], t_max[s:e], any_hit)
+            )
+        hit, t, idx = (jnp.concatenate(x, axis=0) for x in zip(*outs))
+        if order is not None:
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(n, dtype=order.dtype)
+            )
+            hit, t, idx = hit[inv], t[inv], idx[inv]
+        return hit, t, idx
+
+    def closest(self, scene, o, d, t_max):
+        n = o.shape[0]
+        no_hit = (jnp.zeros(n, bool), jnp.full(n, jnp.inf, F32),
+                  jnp.zeros(n, jnp.int32))
+        hs = (
+            sph_mod.intersect_closest(scene.spheres, o, d, t_max)
+            if scene.n_spheres else no_hit
+        )
+        ht = (
+            self._chunked(o, d, t_max, False)
+            if scene.n_triangles else no_hit
+        )
+        return hs, ht
+
+    def any_hit(self, scene, o, d, t_max):
+        n = o.shape[0]
+        occ = jnp.zeros(n, bool)
+        if scene.n_spheres:
+            occ = occ | sph_mod.intersect_p(scene.spheres, o, d, t_max)
+        if scene.n_triangles:
+            h, t, _ = self._chunked(o, d, t_max, True)
+            occ = occ | (h & (t <= t_max))
+        return occ
+
+
+def attach(scene, leaf_tris: int = 64, group: int = 8,
+           max_prims_per_leaf: int = 4, block_rays: int = 512,
+           ray_chunk: int = 16384, interpret: bool = False):
+    """Install the Pallas sparse-sweep accelerator."""
+    if scene.n_triangles == 0:
+        return scene
+    tris = getattr(scene, "triangles_host", scene.triangles)
+    accel = build_clusters(tris, leaf_tris, max_prims_per_leaf)
+    scene.bump_version()
+    scene.accel = PallasSweepAccelerator(
+        accel, group=group, block_rays=block_rays, ray_chunk=ray_chunk,
+        interpret=interpret,
+    )
+    return scene

@@ -178,3 +178,49 @@ def test_transformed_mesh_world_space():
     hit, t, _ = Tr.intersect_closest(tris, o, d, t_max)
     assert bool(hit[0])
     np.testing.assert_allclose(t[0], 5.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Double-single exact edge functions (the reference's f64 fallback,
+# triangle_mesh.jl:194-197, reproduced without f64)
+# ---------------------------------------------------------------------------
+
+def test_edge_ds_recovers_f64_sign():
+    from trace_tpu.shapes.triangle import _edge_ds
+    import jax.numpy as jnp
+
+    eps = np.float32(2.0 ** -23)
+    a = jnp.float32(1.0 + eps)      # (1+e)(1+e) = 1+2e+e^2 -> fl = 1+2e
+    b = jnp.float32(1.0 + eps)
+    c = jnp.float32(1.0 + 2 * eps)  # (1+2e)(1) -> fl = 1+2e
+    d = jnp.float32(1.0)
+    naive = a * b - c * d
+    assert float(naive) == 0.0            # f32 cancels exactly
+    exact = float(_edge_ds(a, b, c, d))
+    ref = float(np.float64(a) * np.float64(b) - np.float64(c) * np.float64(d))
+    assert exact > 0.0 and ref > 0.0
+    np.testing.assert_allclose(exact, ref, rtol=1e-6)
+
+
+def test_shared_edge_ray_is_watertight():
+    # A ray exactly through the shared diagonal of a split quad must hit
+    # (boundary e == 0 accepted), with and without the ds fallback.
+    from trace_tpu.scene import SceneBuilder
+    from trace_tpu.core import transform as T
+    from trace_tpu.materials.materials import MatteMaterial
+    import jax.numpy as jnp
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)  # shared 0-2 diagonal
+    for exact in (False, True):
+        b = SceneBuilder()
+        mat = b.material(MatteMaterial())
+        b.triangle_mesh(T.identity(), idx, verts, mat)
+        scene = b.build(use_bvh=False, exact_shared_edges=exact)
+        o = jnp.asarray([[0.5, 0.5, 5.0]], jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+        hit = scene.intersect(o, d, jnp.full((1,), jnp.inf, jnp.float32))
+        assert bool(hit.valid[0]), f"exact_edges={exact}"
+        assert abs(float(hit.t[0]) - 5.0) < 1e-5

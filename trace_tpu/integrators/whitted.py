@@ -68,7 +68,8 @@ def _compact(queue, capacity):
 
 
 def li(scene, rd: RayDifferentials, key, max_depth: int = 5,
-       queue_capacity: int | None = None, return_aux: bool = False):
+       queue_capacity: int | None = None, return_aux: bool = False,
+       sort_materials: bool = False):
     """Radiance for a megabatch of camera rays (sampler.jl:58-101).
 
     Returns [N, 3] (or ``(l, aux)`` with ``aux["queue_drops"]`` a device
@@ -111,6 +112,20 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5,
         hit = scene.intersect(q_rd.o, q_rd.d, q_rd.t_max, q_rd.time)
         valid = queue["active"] & hit.valid
         hit = replace(hit, valid=valid)
+        if sort_materials:
+            # Shading-coherence reorder: lanes grouped by material before
+            # compute_scattering. Measured NEUTRAL on TPU (see
+            # ARCHITECTURE.md §7): the masked kind-dispatch below already
+            # evaluates every distinct material on every lane, so there
+            # is no divergence for adjacency to remove — unlike GPU warp
+            # divergence, which is what makes this sort pay elsewhere.
+            # Kept opt-in as the measurement knob.
+            mkey = jnp.where(valid, hit.material_id, jnp.int32(1 << 30))
+            order = jnp.argsort(mkey, stable=True)
+            hit = jax.tree.map(lambda x: x[order], hit)
+            queue = jax.tree.map(lambda x: x[order], queue)
+            q_rd = queue["rd"]
+            valid = hit.valid
         hit = compute_differentials(hit, q_rd)
 
         lobes = compute_scattering(
@@ -173,15 +188,19 @@ class WhittedIntegrator(SamplerIntegrator):
     ``specular_queue_drops`` stats field must be 0 for an energy-exact
     render; raise the capacity otherwise."""
 
-    def __init__(self, *args, queue_capacity: int | None = None, **kw):
+    def __init__(self, *args, queue_capacity: int | None = None,
+                 sort_materials: bool = False, **kw):
         super().__init__(*args, **kw)
         self.queue_capacity = queue_capacity
+        self.sort_materials = bool(sort_materials)
 
     def li(self, scene, rd, key):
         return li(scene, rd, key, self.max_depth,
-                  queue_capacity=self.queue_capacity)
+                  queue_capacity=self.queue_capacity,
+                  sort_materials=self.sort_materials)
 
     def _li_with_aux(self, scene, rd, key):
         l, aux = li(scene, rd, key, self.max_depth,
-                    queue_capacity=self.queue_capacity, return_aux=True)
+                    queue_capacity=self.queue_capacity, return_aux=True,
+                    sort_materials=self.sort_materials)
         return l, aux["queue_drops"]

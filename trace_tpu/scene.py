@@ -94,7 +94,8 @@ class SceneBuilder:
         self._light_entries.append(entry)
 
     def build(self, chunk_size: int = 2048, use_bvh: bool | None = None,
-              max_prims_per_leaf: int = 4) -> "Scene":
+              max_prims_per_leaf: int = 4,
+              exact_shared_edges: bool = False) -> "Scene":
         """use_bvh None -> auto: attach a BVH when the triangle count makes
         the brute-force [rays x tris] grid unreasonable."""
         spheres = sph_mod.pack_spheres(self._sphere_entries)
@@ -105,7 +106,8 @@ class SceneBuilder:
         )
         lights = light_mod.pack_lights(self._light_entries, tris)
         scene = Scene(spheres, tris, self._materials, lights, tri_light,
-                      chunk_size=chunk_size, instanced=self._instanced)
+                      chunk_size=chunk_size, instanced=self._instanced,
+                      exact_edges=exact_shared_edges)
         if use_bvh is None:
             use_bvh = scene.n_triangles > 64
         if use_bvh and scene.n_triangles:
@@ -147,7 +149,8 @@ def _chunked_closest(intersect_fn, total, o, d, t_max, chunk):
 
 class Scene:
     def __init__(self, spheres, triangles, materials, lights, tri_light_id,
-                 chunk_size: int = 2048, instanced=None):
+                 chunk_size: int = 2048, instanced=None,
+                 exact_edges: bool = False):
         # Geometry/light tables are HOST (numpy) pytrees by design: jitted
         # render passes close over them and XLA embeds them from host
         # memory for free. A device-array leaf would be read back (d2h)
@@ -163,6 +166,9 @@ class Scene:
         self.chunk_size = int(chunk_size)
         self.n_spheres = sph_mod.num_spheres(spheres)
         self.n_triangles = tri_mod.num_triangles(triangles)
+        # Reference f64 edge-function fallback (double-single form,
+        # shapes/triangle.py) on the brute-force + winner-detail paths.
+        self.exact_edges = bool(exact_edges)
         self.instanced = list(instanced or [])
         self.accel = None  # optional accelerator (accel/*.attach)
 
@@ -248,7 +254,8 @@ class Scene:
         if self.n_triangles:
             ht = _chunked_closest(
                 lambda s, c: tri_mod.intersect_all(
-                    jax.tree.map(lambda x: x[s:s + c], self.triangles), o, d, t_max
+                    jax.tree.map(lambda x: x[s:s + c], self.triangles),
+                    o, d, t_max, exact_edges=self.exact_edges,
                 ),
                 self.n_triangles, o, d, t_max, self.chunk_size,
             )
@@ -280,7 +287,8 @@ class Scene:
             sources.append((hit_t, t_t, lambda v, i_t=i_t:
                             tri_mod.make_hit(self.triangles, o, d, time,
                                              i_t, v,
-                                             prim_offset=self.n_spheres)))
+                                             prim_offset=self.n_spheres,
+                                             exact_edges=self.exact_edges)))
         if self.instanced:
             from .accel.instances import instanced_traverse, \
                 make_instanced_hit
@@ -345,7 +353,8 @@ class Scene:
             for start in range(0, self.n_triangles, self.chunk_size):
                 c = min(self.chunk_size, self.n_triangles - start)
                 part = jax.tree.map(lambda x: x[start:start + c], self.triangles)
-                h, t = tri_mod.intersect_all(part, o, d, t_max)
+                h, t = tri_mod.intersect_all(part, o, d, t_max,
+                                             exact_edges=self.exact_edges)
                 occ = occ | jnp.any(h & (t <= t_max[:, None]), axis=-1)
         return occ
 

@@ -8,10 +8,13 @@ Intersection is the permute-to-ray-space + shear watertight method
 shading frames (per-vertex normals, uv interpolation) are reconstructed only
 for each ray's winning triangle.
 
-Deviation from the reference: the Float64 edge-function fallback
-(triangle_mesh.jl:194-197) is not replicated — TPUs have no f64; lanes where
-all three edge functions are exactly zero are treated as misses. This only
-affects rays passing exactly through a shared edge at f32 resolution.
+The reference's Float64 edge-function fallback (triangle_mesh.jl:194-197)
+is reproduced without f64 via double-single arithmetic (``exact_edges``):
+where an edge function is exactly 0 at f32, an error-free two-float
+product difference recovers the f64 sign. Off by default on the
+accelerated sweep paths (they use the Moller-Trumbore factorization);
+enable per scene with ``SceneBuilder.build(exact_shared_edges=True)`` for
+the brute-force and winner-detail paths.
 """
 from __future__ import annotations
 
@@ -136,7 +139,7 @@ def areas_np(t: Triangles) -> np.ndarray:
     return 0.5 * np.sqrt((c * c).sum(-1)).astype(np.float32)
 
 
-def _ray_space_edges(v0, v1, v2, o, d):
+def _ray_space_edges(v0, v1, v2, o, d, exact_edges=False):
     """Translate+permute+shear vertices into ray space and evaluate the three
     2D edge functions (triangle_mesh.jl:85-123). Broadcasts over any pair
     grid: v* are [..., 3] and o/d broadcast against them.
@@ -177,14 +180,55 @@ def _ray_space_edges(v0, v1, v2, o, d):
     e0 = x1 * y2 - y1 * x2
     e1 = x2 * y0 - y2 * x0
     e2 = x0 * y1 - y0 * x1
+    if exact_edges:
+        # The reference's Float64 fallback (triangle_mesh.jl:194-197):
+        # when an edge function is exactly 0 at f32, it recomputes the
+        # products of the SHEARED f32 coordinates in f64. A double-single
+        # (two-float) error-free product difference reproduces that sign
+        # exactly without f64: f64(a)*f64(b) of f32 inputs is exact, and
+        # twoProd(a,b) = (fl(ab), err) captures the same value in two
+        # f32s (Dekker/Veltkamp split — no FMA dependence).
+        need = (e0 == 0.0) | (e1 == 0.0) | (e2 == 0.0)
+        e0 = jnp.where(need, _edge_ds(x1, y2, y1, x2), e0)
+        e1 = jnp.where(need, _edge_ds(x2, y0, y2, x0), e1)
+        e2 = jnp.where(need, _edge_ds(x0, y1, y0, x1), e2)
     return e0, e1, e2, z0 * sz, z1 * sz, z2 * sz
 
 
-def _intersect_core(v0, v1, v2, o, d, t_max):
+_SPLIT = np.float32(4097.0)  # 2^12 + 1 (Veltkamp split constant for f32)
+
+
+def _two_prod(a, b):
+    """Error-free product: (fl(a*b), err) with a*b == fl+err exactly."""
+    p = a * b
+    ah = a * _SPLIT
+    ah = ah - (ah - a)
+    al = a - ah
+    bh = b * _SPLIT
+    bh = bh - (bh - b)
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _edge_ds(a, b, c, d_):
+    """sign-exact a*b - c*d via double-single arithmetic.
+
+    Only consumed where fl(fl(ab) - fl(cd)) == 0, i.e. fl(ab) == fl(cd);
+    their difference is then exact (Sterbenz), so the result reduces to
+    the error-term difference — the same value the reference's f64
+    recompute yields."""
+    p1, s1 = _two_prod(a, b)
+    p2, s2 = _two_prod(c, d_)
+    return (p1 - p2) + (s1 - s2)
+
+
+def _intersect_core(v0, v1, v2, o, d, t_max, exact_edges=False):
     """Watertight test; returns (hit, t, b0, b1, b2)."""
     degenerate = m.length_squared(m.cross(v2 - v0, v1 - v0)) < 1e-16
 
-    e0, e1, e2, z0s, z1s, z2s = _ray_space_edges(v0, v1, v2, o, d)
+    e0, e1, e2, z0s, z1s, z2s = _ray_space_edges(v0, v1, v2, o, d,
+                                                 exact_edges)
     mixed = ((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0))
     det = e0 + e1 + e2
     near_zero_det = det == 0.0
@@ -200,14 +244,15 @@ def _intersect_core(v0, v1, v2, o, d, t_max):
     return hit, t, b0, b1, b2
 
 
-def intersect_all(tris: Triangles, o, d, t_max):
+def intersect_all(tris: Triangles, o, d, t_max, exact_edges=False):
     """Cheap phase over the [N rays x T triangles] grid: (hit, t)."""
     v0 = tris.v0[None, :, :]
     v1 = tris.v1[None, :, :]
     v2 = tris.v2[None, :, :]
     o_b = o[:, None, :]
     d_b = d[:, None, :]
-    hit, t, _, _, _ = _intersect_core(v0, v1, v2, o_b, d_b, t_max[:, None])
+    hit, t, _, _, _ = _intersect_core(v0, v1, v2, o_b, d_b, t_max[:, None],
+                                      exact_edges)
     return hit, t
 
 
@@ -224,7 +269,8 @@ def intersect_p(tris: Triangles, o, d, t_max):
     return jnp.any(hit, axis=-1)
 
 
-def make_hit(tris: Triangles, o, d, time, idx, valid, prim_offset=0):
+def make_hit(tris: Triangles, o, d, time, idx, valid, prim_offset=0,
+             exact_edges=False):
     """Detail phase for each ray's winning triangle: barycentric interp of
     p/uv, uv-based ∂p, per-vertex-normal shading frame
     (triangle_mesh.jl:125-185, 216-242)."""
@@ -233,7 +279,10 @@ def make_hit(tris: Triangles, o, d, time, idx, valid, prim_offset=0):
     tris = jax.tree.map(jnp.asarray, tris)  # np leaves -> traceable gathers
     g = lambda x: x[idx]
     v0, v1, v2 = g(tris.v0), g(tris.v1), g(tris.v2)
-    hit, t, b0, b1, b2 = _intersect_core(v0, v1, v2, o, d, jnp.full(o.shape[:-1], jnp.inf, F32))
+    hit, t, b0, b1, b2 = _intersect_core(
+        v0, v1, v2, o, d, jnp.full(o.shape[:-1], jnp.inf, F32),
+        exact_edges,
+    )
     valid = valid & hit
 
     uv0, uv1, uv2 = g(tris.uv0), g(tris.uv1), g(tris.uv2)

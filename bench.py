@@ -149,39 +149,51 @@ def bench_sppm_caustic():
 
 
 def bench_mesh_1m():
-    """Config 4: ~1M-triangle heightfield, Whitted 256² depth 2 —
-    traversal throughput at production mesh scale (plus the one-time
-    native SAH build, reported separately)."""
+    """Config 4: ~1M-triangle heightfield — traversal at production mesh
+    scale. Two workloads: the 256²/1spp latency frame, and the
+    512²/4spp throughput frame (fixed per-frame costs amortize — the
+    round-2 A/B showed the frame is NOT entry-table-bound, so rays/frame
+    is the throughput lever). Native SAH build time reported alongside."""
     from trace_tpu.models.mesh_heavy import build_scene, build_camera
     from trace_tpu.integrators.whitted import WhittedIntegrator
     from trace_tpu.sampler.uniform import UniformSampler
+    from trace_tpu.accel.clusters import attach
 
-    res, spp, max_depth = 256, 1, 2
+    max_depth = 2
     tb0 = time.perf_counter()
     scene = build_scene()
     build_s = time.perf_counter() - tb0
-    camera = build_camera(resolution=res, filename="/tmp/bench_mesh1m.png")
-    integ = WhittedIntegrator(
-        camera, UniformSampler(spp, seed=0), max_depth=max_depth,
-        pixel_chunk=1 << 17,
-    )
-    state = integ.render(scene)
-    jax.block_until_ready(state.xyz)
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
+    attach(scene, leaf_tris=64, stage_clusters=128, ray_chunk=65536)
+
+    def run(res, spp, reps):
+        camera = build_camera(resolution=res,
+                              filename="/tmp/bench_mesh1m.png")
+        integ = WhittedIntegrator(
+            camera, UniformSampler(spp, seed=0), max_depth=max_depth,
+            pixel_chunk=1 << 18,
+        )
         state = integ.render(scene)
         jax.block_until_ready(state.xyz)
-        times.append(time.perf_counter() - t0)
-    dt, _ = _median_iqr(times)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state = integ.render(scene)
+            jax.block_until_ready(state.xyz)
+            times.append(time.perf_counter() - t0)
+        dt, _ = _median_iqr(times)
+        (x0, y0), (x1, y1) = camera.film.sample_bounds()
+        n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
+        n_lights = int(np.asarray(scene.lights.kind).shape[0])
+        total_rays = n_pixels * spp * (1 + n_lights) * max_depth
+        return dt, total_rays
 
-    (x0, y0), (x1, y1) = camera.film.sample_bounds()
-    n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
-    n_lights = int(np.asarray(scene.lights.kind).shape[0])
-    total_rays = n_pixels * spp * (1 + n_lights) * max_depth
+    dt_lat, rays_lat = run(256, 1, 7)
+    dt_thr, rays_thr = run(512, 4, 5)
     return {
-        "mrays": round(total_rays / dt / 1e6, 3),
-        "ms": round(dt * 1e3, 3),
+        "mrays": round(rays_thr / dt_thr / 1e6, 3),
+        "ms_512_4spp": round(dt_thr * 1e3, 3),
+        "ms_256_1spp": round(dt_lat * 1e3, 3),
+        "mrays_256_1spp": round(rays_lat / dt_lat / 1e6, 3),
         "n_tris": int(scene.n_triangles),
         "build_s": round(build_s, 2),
     }

@@ -87,3 +87,41 @@ def test_sweep_kernel_finite_t_max():
     np.testing.assert_array_equal(np.asarray(h), bh)
     np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3,
                                rtol=1e-4)
+
+
+def test_scene_builder_pallas_sweep_flag():
+    # accelerator="pallas_sweep" must render end-to-end (interpreter off
+    # TPU) and agree with the default cluster accelerator.
+    import jax
+    from trace_tpu.scene import SceneBuilder
+    from trace_tpu.core import transform as T
+    from trace_tpu.materials.materials import MatteMaterial
+    from trace_tpu.lights.lights import point_light
+
+    tris = _soup(200, seed=21)
+    verts = np.concatenate(
+        [np.asarray(tris.v0), np.asarray(tris.v1), np.asarray(tris.v2)], 0
+    )
+    idx = np.stack([np.arange(200), np.arange(200) + 200,
+                    np.arange(200) + 400], -1)
+
+    def build(accel):
+        b = SceneBuilder()
+        mat = b.material(MatteMaterial())
+        b.triangle_mesh(T.identity(), idx, verts, mat)
+        b.light(point_light(T.translate([0.0, 10.0, 0.0]),
+                            (100.0, 100.0, 100.0)))
+        return b.build(accelerator=accel)
+
+    sp = build("pallas_sweep")
+    from trace_tpu.ops.sweep_pallas import PallasSweepAccelerator
+    assert isinstance(sp.accel, PallasSweepAccelerator)
+    sc = build("clusters")
+    o, d = _rays(200, seed=22)
+    tm = jnp.full(200, jnp.inf)
+    hp = jax.jit(lambda: sp.intersect(o, d, tm))()
+    hc = jax.jit(lambda: sc.intersect(o, d, tm))()
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hc.valid))
+    both = np.asarray(hp.valid)
+    np.testing.assert_allclose(np.asarray(hp.t)[both],
+                               np.asarray(hc.t)[both], atol=1e-3, rtol=1e-4)

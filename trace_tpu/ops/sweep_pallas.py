@@ -74,10 +74,11 @@ class SweepTables:
         self.panel = np.ascontiguousarray(
             np.pad(panel, ((0, 0), (0, 0), (0, self.gl_pad - gl)))
         ).astype(np.float32)
-        self.tid = np.ascontiguousarray(np.pad(
-            tid.reshape(s, gl), ((0, 0), (0, self.gl_pad - gl)),
-            constant_values=-1,
-        )).astype(np.int32)
+        # [S, 8, GL] — row 0 carries the ids, rows 1-7 pad the slab to the
+        # int32 VMEM sublane tiling (Mosaic rejects 1-row DMA slices).
+        tid_rows = np.full((s, 8, self.gl_pad), -1, np.int32)
+        tid_rows[:, 0, :gl] = tid.reshape(s, gl)
+        self.tid = np.ascontiguousarray(tid_rows)
         self.s_lo = np.ascontiguousarray(
             c_lo.reshape(s, g, 3).min(axis=1))
         self.s_hi = np.ascontiguousarray(
@@ -114,7 +115,7 @@ def _sweep_kernel(any_hit, n_supers,
         s, best_t, best_i = state
         sid = idx_ref[0, s]
         cp = pltpu.make_async_copy(panel_hbm.at[sid], panel_buf, sem)
-        ci = pltpu.make_async_copy(tid_hbm.at[sid], tid_buf.at[0], sem_i)
+        ci = pltpu.make_async_copy(tid_hbm.at[sid], tid_buf, sem_i)
         cp.start()
         ci.start()
         cp.wait()
@@ -170,8 +171,13 @@ def _sweep_kernel(any_hit, n_supers,
     )
     _, best_t, best_i = jax.lax.while_loop(cond, body, init)
     found = best_i != jnp.int32(0x7FFFFFFF)
-    bt_out[0, :] = jnp.where(found, best_t, jnp.inf)
-    bi_out[0, :] = jnp.where(found, best_i, -1)
+    # 8-sublane output blocks (Mosaic tile rule); row 0 carries the data.
+    bt_out[:, :] = jnp.broadcast_to(
+        jnp.where(found, best_t, jnp.inf)[None, :], bt_out.shape
+    )
+    bi_out[:, :] = jnp.broadcast_to(
+        jnp.where(found, best_i, -1)[None, :], bi_out.shape
+    )
 
 
 class PallasSweepAccelerator:
@@ -224,8 +230,16 @@ class PallasSweepAccelerator:
         suffix = jax.lax.associative_scan(
             jnp.minimum, entry_o, reverse=True, axis=1
         )
-        suffix = jnp.pad(suffix, ((0, 0), (0, 1)),
+        # Mosaic block-shape rule: last two dims (8, 128)-divisible. Each
+        # block's row is padded to an 8-sublane group (rows 1-7 unused).
+        s_pad = -(-(s_count + 1) // 128) * 128
+        suffix = jnp.pad(suffix, ((0, 0), (0, s_pad - s_count)),
                          constant_values=jnp.inf)
+        order = jnp.pad(order, ((0, 0), (0, s_pad - s_count)))
+        suffix = jnp.pad(suffix[:, None, :], ((0, 0), (0, 7), (0, 0))
+                         ).reshape(nb * 8, s_pad)
+        order = jnp.pad(order[:, None, :], ((0, 0), (0, 7), (0, 0))
+                        ).reshape(nb * 8, s_pad)
 
         m = jnp.cross(o_p, d_p)
         pack = jnp.stack(
@@ -241,9 +255,9 @@ class PallasSweepAccelerator:
             kernel,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, s_count + 1), lambda i: (i, 0),
+                pl.BlockSpec((8, s_pad), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, s_count + 1), lambda i: (i, 0),
+                pl.BlockSpec((8, s_pad), lambda i: (i, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((RAY_ROWS, b), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -251,31 +265,31 @@ class PallasSweepAccelerator:
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((1, b), lambda i: (i, 0),
+                pl.BlockSpec((8, b), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b), lambda i: (i, 0),
+                pl.BlockSpec((8, b), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((nb, b), F32),
-                jax.ShapeDtypeStruct((nb, b), jnp.int32),
+                jax.ShapeDtypeStruct((nb * 8, b), F32),
+                jax.ShapeDtypeStruct((nb * 8, b), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((16, gl), jnp.float32),
-                pltpu.VMEM((1, gl), jnp.int32),
+                pltpu.VMEM((8, gl), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=self.interpret,
         )(
-            jnp.pad(order, ((0, 0), (0, 1))),
+            order,
             suffix,
             rays.reshape(nb * RAY_ROWS, b),
             jnp.asarray(tb.panel),
             jnp.asarray(tb.tid),
         )
-        bt = bt.reshape(-1)[:n]
-        bi = bi.reshape(-1)[:n]
+        bt = bt.reshape(nb, 8, b)[:, 0].reshape(-1)[:n]
+        bi = bi.reshape(nb, 8, b)[:, 0].reshape(-1)[:n]
         hit = (bi >= 0) & (bt <= t_max)
         return hit, jnp.where(hit, bt, jnp.inf), jnp.maximum(bi, 0)
 
@@ -332,10 +346,13 @@ class PallasSweepAccelerator:
 
 def attach(scene, leaf_tris: int = 64, group: int = 8,
            max_prims_per_leaf: int = 4, block_rays: int = 512,
-           ray_chunk: int = 16384, interpret: bool = False):
-    """Install the Pallas sparse-sweep accelerator."""
+           ray_chunk: int = 16384, interpret: bool | None = None):
+    """Install the Pallas sparse-sweep accelerator. ``interpret`` None ->
+    auto: Mosaic on TPU, the Pallas interpreter elsewhere (CPU tests)."""
     if scene.n_triangles == 0:
         return scene
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     tris = getattr(scene, "triangles_host", scene.triangles)
     accel = build_clusters(tris, leaf_tris, max_prims_per_leaf)
     scene.bump_version()

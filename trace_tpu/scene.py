@@ -95,9 +95,16 @@ class SceneBuilder:
 
     def build(self, chunk_size: int = 2048, use_bvh: bool | None = None,
               max_prims_per_leaf: int = 4,
-              exact_shared_edges: bool = False) -> "Scene":
+              exact_shared_edges: bool = False,
+              accelerator: str = "clusters") -> "Scene":
         """use_bvh None -> auto: attach a BVH when the triangle count makes
-        the brute-force [rays x tris] grid unreasonable."""
+        the brute-force [rays x tris] grid unreasonable.
+
+        ``accelerator``: "clusters" (default MXU demand-ordered sweep) or
+        "pallas_sweep" (ops/sweep_pallas.py — per-ray-block demand order
+        with fused VMEM epilogue; measured ~2x the cluster sweep on
+        INCOHERENT rays, slower on coherent camera rays — pick per
+        workload)."""
         spheres = sph_mod.pack_spheres(self._sphere_entries)
         tris = tri_mod.concat_triangles(self._tri_parts)
         tri_light = (
@@ -111,8 +118,6 @@ class SceneBuilder:
         if use_bvh is None:
             use_bvh = scene.n_triangles > 64
         if use_bvh and scene.n_triangles:
-            from .accel.clusters import attach
-
             # Leaf/stage sizes from a v5e sweep (1M-tri heightfield,
             # camera rays): small leaves + wide stages retire lanes
             # earlier — 64/128 measured 107 Mrays/s vs 72 for 128/64.
@@ -121,8 +126,16 @@ class SceneBuilder:
                 leaf, stage = 32, 64
             else:
                 leaf, stage = 64, 128
-            attach(scene, leaf_tris=leaf, stage_clusters=stage,
-                   max_prims_per_leaf=max_prims_per_leaf)
+            if accelerator == "pallas_sweep":
+                from .ops.sweep_pallas import attach as attach_sweep
+
+                attach_sweep(scene, leaf_tris=64,
+                             max_prims_per_leaf=max_prims_per_leaf)
+            else:
+                from .accel.clusters import attach
+
+                attach(scene, leaf_tris=leaf, stage_clusters=stage,
+                       max_prims_per_leaf=max_prims_per_leaf)
         return scene
 
 

@@ -209,3 +209,34 @@ def test_instance_memory_is_shared():
     assert np.asarray(geom.base.v0).shape[0] == n_base  # stored once
     assert np.asarray(geom.table.o2w).shape == (100, 4, 4)
     assert scene.n_triangles == 0  # nothing flattened
+
+
+def test_instanced_geometry_in_sppm():
+    # Instanced geometry must work through the photon integrator's
+    # intersect/any-hit paths (scene.intersect is shared by all
+    # integrators; this exercises the instance sweep inside the SPPM
+    # camera + photon walks end-to-end).
+    from trace_tpu.camera.perspective import PerspectiveCamera
+    from trace_tpu.film.film import Film
+    from trace_tpu.film.filters import LanczosSincFilter
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+
+    idx, verts = _tetra()
+    b = SceneBuilder()
+    mat = b.material(MatteMaterial(Kd=(0.7, 0.7, 0.7)))
+    b.instanced_mesh(idx, verts, _transforms(), mat)
+    b.light(L.point_light(T.translate([0.0, 5.0, -2.0]), (60.0, 60.0, 60.0)))
+    scene = b.build()
+
+    film = Film((16, 16), filter=LanczosSincFilter((1.0, 1.0), 3.0),
+                filename="/tmp/_inst_sppm.png")
+    cam = PerspectiveCamera(
+        T.look_at([0.0, 0.3, 4.0], [0.0, 0.0, -4.0], [0.0, 1.0, 0.0]),
+        film=film, convention="pbrt",
+    )
+    integ = SPPMIntegrator(cam, initial_search_radius=0.3, max_depth=2,
+                           n_iterations=2, photons_per_iteration=512)
+    st = integ.render(scene)
+    img = np.asarray(integ.to_image(st, 2))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0  # instanced surfaces receive light

@@ -1,6 +1,6 @@
 """Cross-validation of every acceleration path against brute force:
 cluster sweep (VPU watertight + MXU Moller-Trumbore stages), per-lane BVH
-traversal, MXU all-pairs, and the Pallas packet kernel (interpret mode)."""
+traversal, MXU all-pairs, and the Pallas kernels (interpret mode)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -119,20 +119,6 @@ def test_any_hit_agrees():
     acc = CL.build_clusters(tris, leaf_tris=16)
     h, t, _ = CL.traverse(acc, o, d, t_short, 8, True)
     np.testing.assert_array_equal(np.asarray(h) & (np.asarray(t) <= 4.0), bf_occ)
-
-
-def test_packet_kernel_interpret_agrees():
-    from trace_tpu.accel.packet import PacketAccelerator
-
-    tris = _soup(300, seed=5)
-    o, d = _rays(256, seed=6)
-    t_max = jnp.full(256, jnp.inf)
-    bh, bt, bi = _brute(tris, o, d, t_max)
-    acc = CL.build_clusters(tris, leaf_tris=16)
-    pa = PacketAccelerator(acc, interpret=True)
-    h, t, i = pa._traverse(o, d, t_max, False)
-    np.testing.assert_array_equal(np.asarray(h), bh)
-    np.testing.assert_allclose(np.asarray(t)[bh], bt[bh], atol=1e-3, rtol=1e-4)
 
 
 def test_pallas_fused_mxu_kernel_agrees():

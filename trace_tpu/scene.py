@@ -102,9 +102,9 @@ class SceneBuilder:
 
         ``accelerator``: "clusters" (default MXU demand-ordered sweep) or
         "pallas_sweep" (ops/sweep_pallas.py — per-ray-block demand order
-        with fused VMEM epilogue; measured ~2x the cluster sweep on
-        INCOHERENT rays, slower on coherent camera rays — pick per
-        workload)."""
+        with fused VMEM epilogue; measured 1.6x the cluster sweep on
+        coherent camera rays and 2-2.5x on incoherent bounce/photon rays
+        at 88k tris on v5e — see ARCHITECTURE.md §2)."""
         spheres = sph_mod.pack_spheres(self._sphere_entries)
         tris = tri_mod.concat_triangles(self._tri_parts)
         tri_light = (

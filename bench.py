@@ -35,6 +35,7 @@ import traceback
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 # Persistent XLA compilation cache: through the remote-TPU tunnel a fresh
 # compile costs minutes; cached reruns skip it entirely (verified). Keyed
@@ -151,19 +152,18 @@ def bench_sppm_caustic():
 def bench_mesh_1m():
     """Config 4: ~1M-triangle heightfield — traversal at production mesh
     scale. Two workloads: the 256²/1spp latency frame, and the
-    512²/4spp throughput frame (fixed per-frame costs amortize — the
-    round-2 A/B showed the frame is NOT entry-table-bound, so rays/frame
-    is the throughput lever). Native SAH build time reported alongside."""
+    512²/4spp throughput frame (fixed per-frame costs amortize). Uses the
+    scene-default accelerator (Pallas sparse sweep on TPU — the round-2
+    A/B measured it 3.6-4x the XLA cluster sweep at 1M tris). Native SAH
+    build time reported alongside."""
     from trace_tpu.models.mesh_heavy import build_scene, build_camera
     from trace_tpu.integrators.whitted import WhittedIntegrator
     from trace_tpu.sampler.uniform import UniformSampler
-    from trace_tpu.accel.clusters import attach
 
     max_depth = 2
     tb0 = time.perf_counter()
-    scene = build_scene()
+    scene = build_scene()  # scene default: Pallas sweep on TPU
     build_s = time.perf_counter() - tb0
-    attach(scene, leaf_tris=64, stage_clusters=128, ray_chunk=65536)
 
     def run(res, spp, reps):
         camera = build_camera(resolution=res,
@@ -200,14 +200,18 @@ def bench_mesh_1m():
 
 
 def bench_animated_relight():
-    """Config 5: animated caustic relight — per-frame light-table swap
-    (the moving spot of caustic_moving.jl) + cluster refit, 2 SPPM
-    iterations per frame at 128². Lights enter the jitted passes as
-    traced arguments, so frames 2+ reuse the compiled executables."""
+    """Config 5: animated caustic — per-frame light-table swap (the
+    moving spot of caustic_moving.jl) + per-frame MOVED geometry through
+    the animated-geometry path (render(geometry=...)): the 88k-tri mesh
+    is re-accelerated fully on device (Morton clustering) and threaded
+    into the jitted SPPM passes as a traced argument, so every frame
+    reuses the compiled executables. 2 SPPM iterations per frame at
+    128²."""
+    from trace_tpu.core import transform as T
     from trace_tpu.models.caustic_glass import build_scene, build_camera
     from trace_tpu.models.caustic_moving import set_frame_lights
     from trace_tpu.integrators.sppm import SPPMIntegrator
-    from trace_tpu.accel.clusters import refit_clusters
+    from trace_tpu.shapes.triangle import transform_triangles
 
     scene = build_scene()
     camera = build_camera(resolution=128, filename="/tmp/bench_anim.png")
@@ -215,15 +219,14 @@ def bench_animated_relight():
         camera, initial_search_radius=0.055, max_depth=5, n_iterations=2,
         photons_per_iteration=1 << 16,
     )
+    base_tris = jax.tree.map(jnp.asarray, scene.triangles_host)
 
     def frame(shift):
         set_frame_lights(scene, float(shift))
-        if scene.accel is not None:
-            scene.accel.clusters = refit_clusters(
-                scene.accel.clusters, scene.triangles.v0,
-                scene.triangles.v1, scene.triangles.v2,
-            )
-        st = integ.render(scene, n_iterations=2)
+        tris_f = transform_triangles(
+            base_tris, T.translate([0.0, 0.002 * float(shift), 0.0])
+        )
+        st = integ.render(scene, n_iterations=2, geometry=tris_f)
         jax.block_until_ready(st.tau)
 
     frame(0.0)  # warm-up (compile)

@@ -89,6 +89,36 @@ def test_sweep_kernel_finite_t_max():
                                rtol=1e-4)
 
 
+def test_sweep_refit_matches_rebuild():
+    # Moving vertices + accel.refit must equal a fresh accelerator built
+    # on the moved geometry (the kernel reads SweepTables, so refit must
+    # repack them, not just swap the ClusterAccel).
+    tris = _soup(400, seed=31)
+    accel = CL.build_clusters(tris, leaf_tris=16)
+    sw = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                ray_chunk=512, interpret=True)
+    shift = np.array([0.3, -0.2, 0.15], np.float32)
+    v0 = np.asarray(tris.v0) + shift
+    v1 = np.asarray(tris.v1) + shift
+    v2 = np.asarray(tris.v2) + shift
+    sw.refit(v0, v1, v2)
+
+    import dataclasses
+    moved = dataclasses.replace(tris, v0=v0, v1=v1, v2=v2)
+    fresh = PallasSweepAccelerator(CL.build_clusters(moved, leaf_tris=16),
+                                   group=4, block_rays=128,
+                                   ray_chunk=512, interpret=True)
+    o, d = _rays(150, seed=32)
+    t_max = jnp.full(150, jnp.inf)
+    h_r, t_r, i_r = sw._chunked(o, d, t_max, False)
+    bh, bt, bi = _brute(moved, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(h_r), bh)
+    np.testing.assert_allclose(np.asarray(t_r)[bh], bt[bh], atol=1e-3,
+                               rtol=1e-4)
+    h_f, t_f, _ = fresh._chunked(o, d, t_max, False)
+    np.testing.assert_array_equal(np.asarray(h_r), np.asarray(h_f))
+
+
 def test_scene_builder_pallas_sweep_flag():
     # accelerator="pallas_sweep" must render end-to-end (interpreter off
     # TPU) and agree with the default cluster accelerator.

@@ -482,12 +482,30 @@ class ClusterAccelerator:
         self.stage_clusters = int(stage_clusters)
         self.ray_chunk = int(ray_chunk)
         self.sort_rays = bool(sort_rays)
-        lo = np.asarray(accel.c_lo).min(axis=0)
-        hi = np.asarray(accel.c_hi).max(axis=0)
-        self._world_lo = lo
-        self._world_inv_extent = (
-            1.0 / np.maximum(hi - lo, 1e-12)
-        ).astype(np.float32)
+        if isinstance(accel.c_lo, np.ndarray):
+            # Host-built accel: numpy bounds (a device reduction here
+            # would d2h at trace time when jits close over them).
+            lo = np.asarray(accel.c_lo).min(axis=0)
+            hi = np.asarray(accel.c_hi).max(axis=0)
+            self._world_lo = lo
+            self._world_inv_extent = (
+                1.0 / np.maximum(hi - lo, 1e-12)
+            ).astype(np.float32)
+        else:
+            # Traced / device-built accel (animated-geometry path): keep
+            # the bounds traced — they only feed the coherence sort key.
+            lo = jnp.min(accel.c_lo, axis=0)
+            hi = jnp.max(accel.c_hi, axis=0)
+            self._world_lo = lo
+            self._world_inv_extent = (
+                1.0 / jnp.maximum(hi - lo, 1e-12)
+            ).astype(jnp.float32)
+
+    def refit(self, v0, v1, v2) -> None:
+        """Refresh geometry for moved vertices with fixed topology
+        (BASELINE config 5). Caller must scene.bump_version() afterwards —
+        traversal jits bake the accel tables in at trace time."""
+        self.clusters = refit_clusters(self.clusters, v0, v1, v2)
 
     def _chunked(self, o, d, t_max, any_hit):
         n = o.shape[0]

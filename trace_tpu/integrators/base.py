@@ -75,7 +75,7 @@ class SamplerIntegrator:
     @functools.partial(jax.jit, static_argnums=(0, 1),
                        donate_argnums=(2, 3))
     def _chunk_pass(self, scene, state: FilmState, aux, pixels, lane_valid,
-                    chunk_key, lights):
+                    chunk_key, lights, geom=None):
         """All spp samples for one chunk in ONE dispatch: a lax.fori_loop
         over the per-sample pass. One compile per chunk shape (the body is
         traced once regardless of spp); no per-sample host round-trips —
@@ -84,8 +84,11 @@ class SamplerIntegrator:
 
         ``lights`` is the scene's light table threaded in as a TRACED
         argument (uploaded once per render): animated relights reuse this
-        executable instead of re-tracing (see Scene.with_lights)."""
-        scene = scene.with_lights(lights)
+        executable instead of re-tracing (see Scene.with_lights).
+        ``geom`` (optional) is a TRACED (Triangles, ClusterAccel) pair —
+        animated geometry reuses the executable the same way (see
+        render(geometry=...) and Scene.with_geometry)."""
+        scene = common.apply_geometry(scene.with_lights(lights), geom)
         spp = self.sampler.samples_per_pixel
 
         def body(s, carry):
@@ -121,7 +124,16 @@ class SamplerIntegrator:
         )
         return state, aux + aux_s
 
-    def render(self, scene) -> FilmState:
+    def render(self, scene, geometry=None) -> FilmState:
+        """Render the scene. ``geometry`` (optional): a Triangles pytree
+        (device arrays or host numpy; same topology/counts as the scene's)
+        that REPLACES the scene's triangle table for this render — the
+        animated-geometry path. A cluster accelerator is rebuilt from it
+        fully on device (Morton sort, accel/morton.py) and both are
+        threaded into the jitted passes as traced arguments, so frame 2+
+        of an animation reuses every compiled executable: per-frame cost
+        is one device rebuild (~ms) instead of a host refit + re-trace
+        (minutes through the remote-compile tunnel)."""
         from ..lights.lights import num_lights
 
         film = self.camera.film
@@ -131,6 +143,7 @@ class SamplerIntegrator:
         chunk = min(self.pixel_chunk, n)
         spp = self.sampler.samples_per_pixel
         key = jax.random.key(self.sampler.seed)
+        geom = common.prepare_geometry(scene, geometry)
         # Light table passed as a traced jit argument — animated relights
         # then reuse compiled executables. Uploaded once per light-table
         # object (relights replace scene.lights wholesale).
@@ -162,7 +175,7 @@ class SamplerIntegrator:
             # runs on device — keys/strata are derived inside the jit).
             state, aux = self._chunk_pass(
                 scene, state, aux, part, valid, jax.random.fold_in(key, ci),
-                lights_dev,
+                lights_dev, geom,
             )
         # Device scalar: Whitted specular-queue overflow drops (0 for
         # integrators without a counter). Kept on device — reading it

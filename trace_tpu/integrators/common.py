@@ -211,6 +211,40 @@ def transmit_differentials(rd: RayDifferentials, hit, lobes, wi) -> tuple:
     return rx_o, ry_o, rx_d, ry_d
 
 
+def prepare_geometry(scene, geometry):
+    """Device-build traversal tables for per-frame animated geometry.
+
+    ``geometry`` is a Triangles pytree (device or host arrays) with the
+    scene's topology but moved vertices/normals. Returns a traced
+    ``(Triangles, ClusterAccel)`` pair for apply_geometry, built fully on
+    device (accel/morton.py Morton clustering) so a frame costs one
+    ~ms-scale rebuild instead of a host SAH refit. None passes through —
+    the static-scene path stays untouched."""
+    if geometry is None:
+        return None
+    from ..accel.morton import build_clusters_device
+    from ..shapes.triangle import num_triangles
+
+    assert num_triangles(geometry) == scene.n_triangles, \
+        "animated geometry must keep the scene's topology"
+    leaf = 32 if scene.n_triangles < 300_000 else 64
+    tris_dev = jax.tree.map(jnp.asarray, geometry)
+    return (tris_dev, build_clusters_device(tris_dev, leaf))
+
+
+def apply_geometry(scene, geom):
+    """Inside a jitted pass: swap a prepare_geometry pair into a scene
+    view (Scene.with_geometry). The pair arrives as a TRACED argument, so
+    every animation frame reuses the compiled executable — the geometry
+    analog of scene.with_lights(lights)."""
+    if geom is None:
+        return scene
+    from ..accel.clusters import ClusterAccelerator
+
+    tris, acc = geom
+    return scene.with_geometry(tris, ClusterAccelerator(acc, stage_clusters=64))
+
+
 def sanitize_radiance(l):
     """NaN/negative-radiance guard (sampler.jl:41-49)."""
     l = jnp.where(jnp.isfinite(l), l, 0.0)

@@ -171,13 +171,15 @@ class SPPMIntegrator:
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
-    def _camera_pass_all(self, scene, pixels, lane_valid, it_key, lights):
+    def _camera_pass_all(self, scene, pixels, lane_valid, it_key, lights,
+                         geom=None):
         """Every camera chunk in ONE dispatch: lax.fori_loop over
         fixed-size chunks with the identical per-chunk key schedule as
         the python loop (bit-identical results). Each dispatch through
         the TPU tunnel costs ~0.4 ms; at 1024^2 the chunked python loop
-        paid that 16x per iteration."""
-        scene = scene.with_lights(lights)
+        paid that 16x per iteration. ``geom`` (optional) is a traced
+        (Triangles, ClusterAccel) pair — see common.apply_geometry."""
+        scene = common.apply_geometry(scene.with_lights(lights), geom)
         n_pad = pixels.shape[0]
         chunk = min(self.pixel_chunk, n_pad)
         n_chunks = n_pad // chunk  # caller pads to a multiple
@@ -391,12 +393,12 @@ class SPPMIntegrator:
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def _photon_walk_all(self, scene, halton_base, light_cdf, light_pmf,
                          grid_lo, grid_res, grid_inv_extent, sorted_cells,
-                         lights):
+                         lights, geom=None):
         """Every photon chunk in ONE dispatch (see _camera_pass_all).
         Chunk layout and Halton indexing match the python loop exactly,
         so splat ordering (and therefore the whole iteration) is
         bit-identical."""
-        scene = scene.with_lights(lights)
+        scene = common.apply_geometry(scene.with_lights(lights), geom)
         np_iter = self.photons_per_iteration
         chunk = min(self.pixel_chunk, np_iter)
         n_chunks = -(-np_iter // chunk)
@@ -665,12 +667,27 @@ class SPPMIntegrator:
     def render(self, scene, n_iterations: int | None = None,
                progress: bool = False, state: SPPMState | None = None,
                start_iteration: int = 1,
-               checkpoint_path: str | None = None) -> SPPMState:
+               checkpoint_path: str | None = None,
+               geometry=None) -> SPPMState:
         """Run SPPM iterations. Pass (state, start_iteration) from a prior
         run (or utils.checkpoint.load_pytree) to resume bit-exactly — a
         capability the reference lacks (its radius/tau/N state is never
-        serialized, SURVEY.md §5)."""
+        serialized, SURVEY.md §5).
+
+        ``geometry`` (optional): a Triangles pytree with the scene's
+        topology but moved vertices — the animated-geometry path
+        (common.prepare_geometry): the accelerator is rebuilt on device
+        and threaded into the jitted passes as a traced argument, so
+        every animation frame reuses compiled executables. Single-chip
+        paths only (the sharded camera/photon passes keep static
+        geometry)."""
         iters = n_iterations or self.n_iterations
+        geom = common.prepare_geometry(scene, geometry)
+        if geom is not None and self.mesh is not None:
+            raise NotImplementedError(
+                "animated geometry is single-chip for now: the sharded "
+                "SPPM passes bake geometry in at trace time"
+            )
         if light_mod.num_lights(scene.lights) == 0:
             raise ValueError(
                 "SPPM requires at least one light (the photon pass samples "
@@ -723,6 +740,7 @@ class SPPMIntegrator:
                 state = self._iterations_fused(
                     scene, state, stop - it + 1, jnp.int32(it),
                     part_j, valid_j, key, light_cdf, light_pmf, lights_dev,
+                    geom,
                 )
                 if self.write_frequency and (
                     stop % self.write_frequency == 0 or stop == iters
@@ -732,7 +750,7 @@ class SPPMIntegrator:
         else:
             for it in range(start_iteration, iters + 1):
                 state = self.step(scene, state, it, pixels, key,
-                                  light_cdf, light_pmf)
+                                  light_cdf, light_pmf, geom)
                 if progress:
                     print(f"sppm iteration {it}/{iters}", flush=True)
                 if self.write_frequency and (
@@ -764,7 +782,8 @@ class SPPMIntegrator:
     @functools.partial(jax.jit, static_argnums=(0, 1, 3))
     def _iterations_fused(self, scene, state: SPPMState, n_iters: int,
                           it_start, pixels, lane_valid, key,
-                          light_cdf, light_pmf, lights) -> SPPMState:
+                          light_cdf, light_pmf, lights,
+                          geom=None) -> SPPMState:
         """``n_iters`` full SPPM iterations as ONE dispatch — the whole
         five-phase loop (camera, grid, photons, pair reduction, pixel
         update) is device-side with no host round-trips. Key schedule,
@@ -778,7 +797,7 @@ class SPPMIntegrator:
             it = it_start + k
             it_key = jax.random.fold_in(key, it)
             ld_add, vp = self._camera_pass_all(
-                scene, pixels, lane_valid, it_key, lights
+                scene, pixels, lane_valid, it_key, lights, geom
             )
             ld_add = ld_add[:n_pix]
             vp = jax.tree.map(lambda x: x[:n_pix], vp)
@@ -790,7 +809,7 @@ class SPPMIntegrator:
             splat = self._photon_walk_all(
                 scene, halton_base, light_cdf, light_pmf,
                 grid["lo"], grid["res"], grid["inv_extent"],
-                grid["sorted_cells"], lights,
+                grid["sorted_cells"], lights, geom,
             )
             counts = splat["count"]
             offsets = jnp.concatenate(
@@ -808,7 +827,9 @@ class SPPMIntegrator:
         return jax.lax.fori_loop(0, n_iters, body, state)
 
     def step(self, scene, state: SPPMState, iteration: int, pixels, key,
-             light_cdf, light_pmf) -> SPPMState:
+             light_cdf, light_pmf, geom=None) -> SPPMState:
+        assert geom is None or self.mesh is None, \
+            "animated geometry is single-chip (sharded passes are static)"
         n_pix = pixels.shape[0]
         chunk = min(self.pixel_chunk, n_pix)
         it_key = jax.random.fold_in(key, iteration)
@@ -840,7 +861,7 @@ class SPPMIntegrator:
             )
             ld_add, vp = self._camera_pass_all(
                 scene, jnp.asarray(part), jnp.asarray(valid), it_key,
-                lights_dev,
+                lights_dev, geom,
             )
             ld_add = ld_add[:n_pix]
             vp = jax.tree.map(lambda x: x[:n_pix], vp)
@@ -870,7 +891,7 @@ class SPPMIntegrator:
             splat = self._photon_walk_all(
                 scene, jnp.uint32(halton_base), light_cdf, light_pmf,
                 grid["lo"], grid["res"], grid["inv_extent"],
-                grid["sorted_cells"], lights_dev,
+                grid["sorted_cells"], lights_dev, geom,
             )
 
         # 4) Pair expansion + reduction.

@@ -101,10 +101,7 @@ def render_animation(
         for i, shift in enumerate(frames, start=1):
             scene = set_frame_lights(scene, float(shift))
             if refit_each_frame and scene.accel is not None:
-                from ..accel.clusters import refit_clusters
-
-                scene.accel.clusters = refit_clusters(
-                    scene.accel.clusters,
+                scene.accel.refit(
                     scene.triangles.v0, scene.triangles.v1,
                     scene.triangles.v2,
                 )

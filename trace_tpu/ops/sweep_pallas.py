@@ -201,6 +201,23 @@ class PallasSweepAccelerator:
             1.0 / np.maximum(hi - lo, 1e-12)
         ).astype(np.float32)
 
+    def refit(self, v0, v1, v2) -> None:
+        """Refresh geometry for moved vertices with fixed topology: refit
+        the underlying ClusterAccel, then repack the kernel tables (the
+        kernel reads SweepTables, not the ClusterAccel — a refit that only
+        swapped ``self.clusters`` would leave the kernel on stale
+        geometry). Caller must scene.bump_version() afterwards."""
+        from ..accel.clusters import refit_clusters
+
+        self.clusters = refit_clusters(self.clusters, v0, v1, v2)
+        self.tables = SweepTables(self.clusters, self.tables.group)
+        lo = self.tables.s_lo.min(axis=0)
+        hi = self.tables.s_hi.max(axis=0)
+        self._world_lo = lo
+        self._world_inv_extent = (
+            1.0 / np.maximum(hi - lo, 1e-12)
+        ).astype(np.float32)
+
     # -- kernel invocation over one chunk ---------------------------------
     def _traverse_chunk(self, o, d, t_max, any_hit):
         tb = self.tables
@@ -261,8 +278,8 @@ class PallasSweepAccelerator:
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((RAY_ROWS, b), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 pl.BlockSpec((8, b), lambda i: (i, 0),

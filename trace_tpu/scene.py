@@ -96,15 +96,18 @@ class SceneBuilder:
     def build(self, chunk_size: int = 2048, use_bvh: bool | None = None,
               max_prims_per_leaf: int = 4,
               exact_shared_edges: bool = False,
-              accelerator: str = "clusters") -> "Scene":
+              accelerator: str = "auto") -> "Scene":
         """use_bvh None -> auto: attach a BVH when the triangle count makes
         the brute-force [rays x tris] grid unreasonable.
 
-        ``accelerator``: "clusters" (default MXU demand-ordered sweep) or
-        "pallas_sweep" (ops/sweep_pallas.py — per-ray-block demand order
-        with fused VMEM epilogue; measured 1.6x the cluster sweep on
-        coherent camera rays and 2-2.5x on incoherent bounce/photon rays
-        at 88k tris on v5e — see ARCHITECTURE.md §2)."""
+        ``accelerator``: "auto" picks "pallas_sweep" on a TPU backend and
+        "clusters" elsewhere. "pallas_sweep" (ops/sweep_pallas.py —
+        per-ray-block demand order with fused VMEM epilogue) measured on
+        v5e: 1.6x the cluster sweep on coherent camera rays and 2-2.5x on
+        incoherent bounce/photon rays at 88k tris, and 3.6-4x at 1M tris
+        (256²/1spp 1.99 ms vs 7.86; 512²/4spp 4.37 ms vs 15.62 — round-2
+        A/B, ray_chunk 16384). "clusters" is the XLA MXU demand-ordered
+        sweep (accel/clusters.py), the portable path CPU tests run."""
         spheres = sph_mod.pack_spheres(self._sphere_entries)
         tris = tri_mod.concat_triangles(self._tri_parts)
         tri_light = (
@@ -126,11 +129,17 @@ class SceneBuilder:
                 leaf, stage = 32, 64
             else:
                 leaf, stage = 64, 128
+            if accelerator == "auto":
+                accelerator = (
+                    "pallas_sweep" if jax.default_backend() == "tpu"
+                    else "clusters"
+                )
             if accelerator == "pallas_sweep":
                 from .ops.sweep_pallas import attach as attach_sweep
 
                 attach_sweep(scene, leaf_tris=64,
-                             max_prims_per_leaf=max_prims_per_leaf)
+                             max_prims_per_leaf=max_prims_per_leaf,
+                             ray_chunk=16384)
             else:
                 from .accel.clusters import attach
 
@@ -237,6 +246,24 @@ class Scene:
 
         view = copy.copy(self)
         view.lights = lights
+        return view
+
+    def with_geometry(self, triangles, accelerator) -> "Scene":
+        """Shallow view with the triangle table and accelerator swapped.
+
+        The geometry analog of with_lights: integrators thread a TRACED
+        Triangles pytree (moved vertices/normals, fixed topology) plus an
+        accelerator over a device-built ClusterAccel into the jitted
+        passes, so animated geometry reuses compiled executables — a
+        per-frame device Morton rebuild (accel/morton.py) instead of a
+        host refit + re-trace. World bounds and light preprocessing stay
+        those of the base scene (motion is assumed to stay within the
+        original bounding volume's neighborhood)."""
+        import copy
+
+        view = copy.copy(self)
+        view.triangles = triangles
+        view.accel = accelerator
         return view
 
     def __hash__(self):

@@ -120,6 +120,29 @@ def num_triangles(t: Triangles) -> int:
     return t.v0.shape[0]
 
 
+def transform_triangles(t: Triangles, transform) -> Triangles:
+    """Apply an affine Transform to a Triangles SoA, traced-safe — the
+    per-frame motion helper for the animated-geometry path
+    (SamplerIntegrator.render(geometry=...)). Vertices go through the
+    full matrix, normals through the inverse transpose
+    (transformations.jl:140 covariance rule), all in exact-f32 VPU
+    arithmetic (core.math.mat3_apply — TPU MXU matmuls multiply in bf16
+    by default, which corrupts on-surface geometry)."""
+    import dataclasses
+
+    mat = jnp.asarray(transform.m, jnp.float32)
+    inv = jnp.asarray(transform.inv_m, jnp.float32)
+    m33 = mat[:3, :3]
+    tr = mat[:3, 3]
+    pt = lambda v: m.mat3_apply(m33, v) + tr
+    nrm = lambda n: m.mat3_apply_t(inv[:3, :3], n)
+    return dataclasses.replace(
+        t,
+        v0=pt(t.v0), v1=pt(t.v1), v2=pt(t.v2),
+        n0=nrm(t.n0), n1=nrm(t.n1), n2=nrm(t.n2),
+    )
+
+
 def world_bounds_np(t: Triangles) -> np.ndarray:
     """Host-side world AABBs [T, 2, 3] for BVH builds."""
     v0, v1, v2 = (np.asarray(x) for x in (t.v0, t.v1, t.v2))

@@ -200,3 +200,25 @@ def test_sorted_multichunk_traversal_matches_single_chunk():
         np.where(np.asarray(h1), np.asarray(i1), -1),
         np.where(np.asarray(h2), np.asarray(i2), -1),
     )
+
+
+def test_native_cluster_cut_matches_python():
+    """bvh_cluster_cut (native/bvh_builder.cpp) vs the per-node Python
+    loops it replaces (_subtree_ranges + the cut stack): identical nodes,
+    range starts, and counts at several cut sizes."""
+    import trace_tpu.native as N
+
+    tris = _soup(977, seed=7)
+    bounds = tri_mod.world_bounds_np(tris)
+    bvh = build_bvh(bounds, 4)
+    for leaf in (4, 32, 128):
+        native_cut = CL._cluster_cut(bvh, leaf)
+        saved = N._lib, N._load_attempted
+        N._lib, N._load_attempted = None, True
+        try:
+            py_cut = CL._cluster_cut(bvh, leaf)
+        finally:
+            N._lib, N._load_attempted = saved
+        for a, b in zip(native_cut, py_cut):
+            assert a.shape == b.shape
+            np.testing.assert_array_equal(a, b)

@@ -89,6 +89,52 @@ def _subtree_ranges(bvh: LinearBVH):
     return count, range_start
 
 
+def _cluster_cut(bvh: LinearBVH, leaf_tris: int):
+    """Cut the tree at subtrees of <= leaf_tris prims -> (nodes, starts,
+    counts), left-child-first depth-first order. Native (bvh_cluster_cut,
+    trace_tpu/native/bvh_builder.cpp) when available — the two per-node
+    Python loops below cost ~14 s at 1M triangles; the Python path stays
+    as the fallback and the equality oracle (test_accel_equivalence)."""
+    n_prims = np.ascontiguousarray(np.asarray(bvh.n_prims), np.int32)
+    right = np.ascontiguousarray(np.asarray(bvh.right_child), np.int32)
+    m_nodes = int(n_prims.shape[0])
+
+    from ..native import load
+
+    lib = load()
+    if lib is not None and m_nodes > 0:
+        import ctypes
+
+        cap = m_nodes  # cut size is bounded by the node count
+        nodes_arr = np.empty(cap, np.int32)
+        starts_arr = np.empty(cap, np.int64)
+        counts_arr = np.empty(cap, np.int64)
+        ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        lp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        c = lib.bvh_cluster_cut(
+            m_nodes, ip(right), ip(n_prims), leaf_tris, cap,
+            ip(nodes_arr), lp(starts_arr), lp(counts_arr),
+        )
+        if c >= 0:
+            return (nodes_arr[:c].astype(np.int64), starts_arr[:c],
+                    counts_arr[:c])
+
+    count, range_start = _subtree_ranges(bvh)
+    clusters = []  # (node, start, count)
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        if count[node] <= leaf_tris or n_prims[node] > 0:
+            clusters.append((node, range_start[node], count[node]))
+        else:
+            stack.append(right[node])
+            stack.append(node + 1)
+    c = len(clusters)
+    return (np.fromiter((cl[0] for cl in clusters), np.int64, c),
+            np.fromiter((cl[1] for cl in clusters), np.int64, c),
+            np.fromiter((cl[2] for cl in clusters), np.int64, c))
+
+
 def _super_bounds(c_lo: np.ndarray, c_hi: np.ndarray, g: int):
     """Union AABBs of groups of g consecutive clusters (depth-first cut
     order keeps neighbors spatially local). Padding groups inherit the
@@ -108,27 +154,11 @@ def build_clusters(tris: tri_mod.Triangles, leaf_tris: int = 32,
     """Build the SAH tree, then cut it at subtrees of <= leaf_tris prims."""
     bounds = tri_mod.world_bounds_np(tris)
     bvh = build_bvh(bounds, max_prims_per_leaf)
-    n_prims = np.asarray(bvh.n_prims)
-    right = np.asarray(bvh.right_child)
     lo = np.asarray(bvh.lo)
     hi = np.asarray(bvh.hi)
     order = np.asarray(bvh.prim_order)
-    count, range_start = _subtree_ranges(bvh)
-
-    clusters = []  # (node, start, count)
-    stack = [0]
-    while stack:
-        node = stack.pop()
-        if count[node] <= leaf_tris or n_prims[node] > 0:
-            clusters.append((node, range_start[node], count[node]))
-        else:
-            stack.append(right[node])
-            stack.append(node + 1)
-
-    c = len(clusters)
-    nodes_arr = np.fromiter((cl[0] for cl in clusters), np.int64, c)
-    starts_arr = np.fromiter((cl[1] for cl in clusters), np.int64, c)
-    counts_arr = np.fromiter((cl[2] for cl in clusters), np.int64, c)
+    nodes_arr, starts_arr, counts_arr = _cluster_cut(bvh, leaf_tris)
+    c = nodes_arr.shape[0]
     c_lo = lo[nodes_arr]
     c_hi = hi[nodes_arr]
     # tri_id[i, k] = order[start_i + k] where k < count_i, else -1

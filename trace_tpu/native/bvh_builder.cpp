@@ -258,3 +258,48 @@ extern "C" void bvh_refit(const float *bounds, int64_t /*t_count*/,
     node_hi[node * 3 + 2] = bhi.z;
   }
 }
+
+// Subtree cluster cut over the flattened tree — native counterpart of
+// accel/clusters.py:_subtree_ranges plus the cut stack loop (the two
+// per-node Python loops dominate 1M-triangle builds, ~14 s of the ~27 s
+// accelerator attach). The depth-first first-child-adjacent layout makes
+// every subtree's primitives a contiguous range of prim_order; one
+// reverse sweep yields subtree counts, one DFS carrying the running
+// range start emits the frontier of subtrees with <= leaf_tris prims.
+// Emission order (left child first) matches the Python oracle exactly.
+extern "C" int64_t bvh_cluster_cut(int64_t n_nodes,
+                                   const int32_t *right_child,
+                                   const int32_t *n_prims,
+                                   int32_t leaf_tris, int64_t capacity,
+                                   int32_t *cut_nodes, int64_t *cut_starts,
+                                   int64_t *cut_counts) {
+  if (n_nodes <= 0) return 0;
+  std::vector<int64_t> count(n_nodes);
+  for (int64_t node = n_nodes - 1; node >= 0; --node) {
+    count[node] = n_prims[node] > 0
+                      ? n_prims[node]
+                      : count[node + 1] + count[right_child[node]];
+  }
+  struct Item {
+    int64_t node, s;
+  };
+  std::vector<Item> stack;
+  stack.push_back({0, 0});
+  int64_t c = 0;
+  while (!stack.empty()) {
+    Item it = stack.back();
+    stack.pop_back();
+    if (count[it.node] <= leaf_tris || n_prims[it.node] > 0) {
+      if (c >= capacity) return -1;
+      cut_nodes[c] = (int32_t)it.node;
+      cut_starts[c] = it.s;
+      cut_counts[c] = count[it.node];
+      ++c;
+    } else {
+      stack.push_back(
+          {(int64_t)right_child[it.node], it.s + count[it.node + 1]});
+      stack.push_back({it.node + 1, it.s});
+    }
+  }
+  return c;
+}

@@ -222,3 +222,30 @@ def test_native_cluster_cut_matches_python():
         for a, b in zip(native_cut, py_cut):
             assert a.shape == b.shape
             np.testing.assert_array_equal(a, b)
+
+
+def test_native_cluster_pack_matches_numpy():
+    """cluster_pack (native/bvh_builder.cpp) vs the numpy packing it
+    replaces: bit-exact packed vertex blocks, f64-rounded Moller-Trumbore
+    constants, and refit bounds (the library builds with -ffp-contract=off
+    precisely so these roundings agree)."""
+    import trace_tpu.native as N
+
+    rng = np.random.default_rng(3)
+    nt, leaf = 733, 32
+    v0 = rng.uniform(-5, 5, (nt, 3)).astype(np.float32)
+    v1 = (v0 + rng.normal(0, 0.4, (nt, 3))).astype(np.float32)
+    v2 = (v0 + rng.normal(0, 0.4, (nt, 3))).astype(np.float32)
+    c = (nt + leaf - 1) // leaf
+    tid = np.full((c, leaf), -1, np.int32)
+    tid.reshape(-1)[:nt] = rng.permutation(nt).astype(np.int32)
+    native_pack = CL._pack_blocks(v0, v1, v2, tid, leaf, want_bounds=True)
+    saved = N._lib, N._load_attempted
+    N._lib, N._load_attempted = None, True
+    try:
+        py_pack = CL._pack_blocks(v0, v1, v2, tid, leaf, want_bounds=True)
+    finally:
+        N._lib, N._load_attempted = saved
+    for a, b in zip(native_pack, py_pack):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)

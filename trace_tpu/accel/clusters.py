@@ -135,6 +135,83 @@ def _cluster_cut(bvh: LinearBVH, leaf_tris: int):
             np.fromiter((cl[2] for cl in clusters), np.int64, c))
 
 
+def _pack_blocks(v0, v1, v2, tri_id, leaf_tris: int,
+                 want_bounds: bool = False):
+    """Gather per-cluster vertex blocks + Moller-Trumbore matmul constants
+    (see accel/mxu.py) -> (packed [C, 9l->%128], packed_mt [C, 16l->%128],
+    lo, hi). Constants are computed in f64 and rounded once to f32.
+    Native (cluster_pack, bvh_builder.cpp, built -ffp-contract=off so the
+    roundings match) when available; the numpy path below is the fallback
+    and the bit-equality oracle. Padding slots stay zero -> det = 0,
+    never hit. lo/hi (per-cluster vertex AABBs, for refit) are only
+    computed when want_bounds."""
+    c = tri_id.shape[0]
+    l = int(leaf_tris)
+    p_stride = 9 * l + ((-9 * l) % 128)
+    mt_stride = 16 * l + ((-16 * l) % 128)
+
+    from ..native import load
+
+    lib = load()
+    if lib is not None and hasattr(lib, "cluster_pack"):
+        import ctypes
+
+        fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        v0c = np.ascontiguousarray(v0, np.float32)
+        v1c = np.ascontiguousarray(v1, np.float32)
+        v2c = np.ascontiguousarray(v2, np.float32)
+        tid = np.ascontiguousarray(tri_id[:, :l], np.int32)
+        packed = np.empty((c, p_stride), np.float32)
+        packed_mt = np.empty((c, mt_stride), np.float32)
+        if want_bounds:
+            b_lo = np.empty((c, 3), np.float32)
+            b_hi = np.empty((c, 3), np.float32)
+            blp, bhp = fp(b_lo), fp(b_hi)
+        else:
+            b_lo = b_hi = None
+            blp = bhp = ctypes.POINTER(ctypes.c_float)()
+        lib.cluster_pack(fp(v0c), fp(v1c), fp(v2c), ip(tid), c, l,
+                         p_stride, mt_stride, fp(packed), fp(packed_mt),
+                         blp, bhp)
+        return packed, packed_mt, b_lo, b_hi
+
+    safe = np.maximum(tri_id[:, :l], 0)
+    mask = tri_id[:, :l] >= 0
+    blocks = lambda v: np.where(
+        mask[..., None], v[safe], 0.0
+    ).astype(np.float32)
+    bl0, bl1, bl2 = blocks(v0), blocks(v1), blocks(v2)
+    seg = l * 3
+    packed = np.concatenate(
+        [bl0.reshape(c, seg), bl1.reshape(c, seg), bl2.reshape(c, seg)],
+        axis=1,
+    )
+    packed = np.pad(packed, ((0, 0), (0, p_stride - packed.shape[1])))
+    b0 = bl0.astype(np.float64)
+    e1 = bl1.astype(np.float64) - b0
+    e2 = bl2.astype(np.float64) - b0
+    nrm = np.cross(e1, e2)
+    w = np.cross(e2, b0)
+    q = np.cross(b0, e1)
+    v0n = np.einsum("clj,clj->cl", b0, nrm)
+    flat = lambda x: x.transpose(0, 2, 1).reshape(c, seg)
+    packed_mt = np.concatenate(
+        [flat(nrm), flat(e1), flat(e2), flat(w), flat(q), v0n], axis=1
+    ).astype(np.float32)
+    packed_mt = np.pad(
+        packed_mt, ((0, 0), (0, mt_stride - packed_mt.shape[1]))
+    )
+    b_lo = b_hi = None
+    if want_bounds:
+        big = np.float32(3e38)
+        mn = np.minimum(np.minimum(bl0, bl1), bl2)
+        mx = np.maximum(np.maximum(bl0, bl1), bl2)
+        b_lo = np.min(np.where(mask[..., None], mn, big), axis=1)
+        b_hi = np.max(np.where(mask[..., None], mx, -big), axis=1)
+    return packed, packed_mt, b_lo, b_hi
+
+
 def _super_bounds(c_lo: np.ndarray, c_hi: np.ndarray, g: int):
     """Union AABBs of groups of g consecutive clusters (depth-first cut
     order keeps neighbors spatially local). Padding groups inherit the
@@ -168,44 +245,12 @@ def build_clusters(tris: tri_mod.Triangles, leaf_tris: int = 32,
     src = np.minimum(starts_arr[:, None] + k_grid, len(order) - 1)
     tri_id = np.where(in_range, order[src], -1).astype(np.int32)
 
-    v0 = np.asarray(tris.v0)
-    v1 = np.asarray(tris.v1)
-    v2 = np.asarray(tris.v2)
-    safe = np.maximum(tri_id, 0)
-    blocks = lambda v: np.where(
-        tri_id[..., None] >= 0, v[safe], 0.0
-    ).astype(np.float32)
-    seg = leaf_tris * 3
-    packed = np.concatenate(
-        [blocks(v0).reshape(c, seg), blocks(v1).reshape(c, seg),
-         blocks(v2).reshape(c, seg)],
-        axis=1,
+    packed, packed_mt, _, _ = _pack_blocks(
+        np.asarray(tris.v0), np.asarray(tris.v1), np.asarray(tris.v2),
+        tri_id, leaf_tris,
     )
-    p_pad = (-packed.shape[1]) % 128
-    packed = np.pad(packed, ((0, 0), (0, p_pad)))
     id_pad = (-leaf_tris) % 128
     tri_id = np.pad(tri_id, ((0, 0), (0, id_pad)), constant_values=-1)
-
-    # Moller-Trumbore matmul constants per block (see accel/mxu.py).
-    tid_u = tri_id[:, :leaf_tris]  # unpadded block view
-    safe_u = np.maximum(tid_u, 0)
-    blocks = lambda v: np.where(
-        tid_u[..., None] >= 0, v[safe_u], 0.0
-    ).astype(np.float32)
-    b0 = blocks(v0).astype(np.float64)
-    e1 = blocks(v1).astype(np.float64) - b0
-    e2 = blocks(v2).astype(np.float64) - b0
-    nrm = np.cross(e1, e2)
-    w = np.cross(e2, b0)
-    q = np.cross(b0, e1)
-    v0n = np.einsum("clj,clj->cl", b0, nrm)
-    # Padding slots have all-zero consts -> det = 0 -> never hit.
-    flat = lambda x: x.transpose(0, 2, 1).reshape(c, 3 * leaf_tris)
-    packed_mt = np.concatenate(
-        [flat(nrm), flat(e1), flat(e2), flat(w), flat(q), v0n], axis=1
-    ).astype(np.float32)
-    mt_pad = (-packed_mt.shape[1]) % 128
-    packed_mt = np.pad(packed_mt, ((0, 0), (0, mt_pad)))
     # Host (numpy) leaves: traversal jits close over the accel and XLA
     # embeds host arrays for free; device leaves would d2h at trace time
     # (relay poison — see Scene.__init__).
@@ -235,37 +280,14 @@ def refit_clusters(accel: ClusterAccel, v0, v1, v2) -> ClusterAccel:
     the frame's render jits, and host leaves embed without the d2h a
     device-resident refit would force at trace time."""
     l = accel.leaf_tris
-    c = accel.tri_id.shape[0]
-    v0, v1, v2 = np.asarray(v0), np.asarray(v1), np.asarray(v2)
-    tid = np.asarray(accel.tri_id[:, :l])
-    safe = np.maximum(tid, 0)
-    mask = (tid >= 0)[..., None]
-    b0 = np.where(mask, v0[safe], 0.0).astype(np.float32)
-    b1 = np.where(mask, v1[safe], 0.0).astype(np.float32)
-    b2 = np.where(mask, v2[safe], 0.0).astype(np.float32)
-    big = np.float32(3e38)
-    lo_b = np.min(np.where(mask, np.minimum(np.minimum(b0, b1), b2), big),
-                  axis=1)
-    hi_b = np.max(np.where(mask, np.maximum(np.maximum(b0, b1), b2), -big),
-                  axis=1)
-    seg = l * 3
-    packed = np.concatenate(
-        [b0.reshape(c, seg), b1.reshape(c, seg), b2.reshape(c, seg)], axis=1
+    tid = np.asarray(accel.tri_id)
+    packed, packed_mt, lo_b, hi_b = _pack_blocks(
+        np.asarray(v0), np.asarray(v1), np.asarray(v2), tid, l,
+        want_bounds=True,
     )
-    packed = np.pad(packed, ((0, 0), (0, accel.packed.shape[1] - 3 * seg)))
-    e1 = b1 - b0
-    e2 = b2 - b0
-    nrm = np.cross(e1, e2)
-    w = np.cross(e2, b0)
-    q = np.cross(b0, e1)
-    v0n = np.einsum("clj,clj->cl", b0, nrm)
-    flat = lambda x: x.transpose(0, 2, 1).reshape(c, seg)
-    packed_mt = np.concatenate(
-        [flat(nrm), flat(e1), flat(e2), flat(w), flat(q), v0n], axis=1
-    ).astype(np.float32)
-    packed_mt = np.pad(
-        packed_mt, ((0, 0), (0, accel.packed_mt.shape[1] - packed_mt.shape[1]))
-    )
+    # _pack_blocks recomputes the MT constants through the same f64 path
+    # as build_clusters, so a refit is now bit-identical to a rebuild
+    # with the same block topology (the old numpy refit rounded in f32).
     import dataclasses
 
     s_lo, s_hi = _super_bounds(lo_b, hi_b, accel.super_size)

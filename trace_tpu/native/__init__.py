@@ -25,8 +25,10 @@ def _build_library() -> str | None:
     ):
         return _LIB_PATH
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", _LIB_PATH, *_SOURCES,
+        # -ffp-contract=off: cluster_pack's double-precision constants
+        # must round exactly like the numpy oracle's (no FMA fusion).
+        "g++", "-O3", "-march=native", "-ffp-contract=off",
+        "-shared", "-fPIC", "-o", _LIB_PATH, *_SOURCES,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -68,6 +70,14 @@ def load() -> ctypes.CDLL | None:
         ctypes.c_int32, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.cluster_pack.restype = None
+    lib.cluster_pack.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
     lib.bvh_refit.restype = None
     lib.bvh_refit.argtypes = [

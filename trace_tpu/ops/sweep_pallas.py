@@ -71,9 +71,11 @@ class SweepTables:
         panel = mt.reshape(s, g, 16, l).transpose(0, 2, 1, 3).reshape(
             s, 16, gl
         )
-        self.panel = np.ascontiguousarray(
-            np.pad(panel, ((0, 0), (0, 0), (0, self.gl_pad - gl)))
-        ).astype(np.float32)
+        # pad already yields contiguous f32 — avoid two further copies.
+        self.panel = np.asarray(
+            np.pad(panel, ((0, 0), (0, 0), (0, self.gl_pad - gl))),
+            np.float32,
+        )
         # [S, 8, GL] — row 0 carries the ids, rows 1-7 pad the slab to the
         # int32 VMEM sublane tiling (Mosaic rejects 1-row DMA slices).
         tid_rows = np.full((s, 8, self.gl_pad), -1, np.int32)

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import math as m
 from ..core import transform as T
 from ..film.film import Film
 from ..film.filters import LanczosSincFilter

@@ -134,9 +134,15 @@ def bench_sppm_caustic():
     scene = build_scene()
     camera = build_camera(resolution=1024,
                           filename="/tmp/bench_caustic.png")
+    fused = os.environ.get("BENCH_SPPM_FUSED")
     integ = SPPMIntegrator(
         camera, initial_search_radius=0.075, max_depth=8,
         n_iterations=100, photons_per_iteration=1 << 18,
+        # BENCH_SPPM_FUSED=k: one dispatch per k iterations instead of
+        # ~10 per iteration. Opt-in until the capped fused path has a
+        # clean validation run at flagship scale on the current relay
+        # (unbounded blocks faulted the TPU runtime in round 1).
+        fused_iterations=bool(fused), fused_block=int(fused or 8),
     )
     state = integ.render(scene, n_iterations=2)  # warm-up (compile)
     jax.block_until_ready(state.tau)
@@ -202,31 +208,31 @@ def bench_mesh_1m():
 def bench_animated_relight():
     """Config 5: animated caustic — per-frame light-table swap (the
     moving spot of caustic_moving.jl) + per-frame MOVED geometry through
-    the animated-geometry path (render(geometry=...)): the 88k-tri mesh
-    is re-accelerated fully on device (Morton clustering) and threaded
-    into the jitted SPPM passes as a traced argument, so every frame
-    reuses the compiled executables. 2 SPPM iterations per frame at
-    128²."""
+    the animated-geometry path: the 88k-tri mesh stays device-resident
+    and each frame passes only its Transform
+    (render(geometry=base, geometry_transform=xf)), so the vertex
+    transform + Morton re-clustering is ONE dispatch and the 2 SPPM
+    iterations another (fused_iterations) — every frame reuses the
+    compiled executables. 2 SPPM iterations per frame at 128²."""
     from trace_tpu.core import transform as T
     from trace_tpu.models.caustic_glass import build_scene, build_camera
     from trace_tpu.models.caustic_moving import set_frame_lights
     from trace_tpu.integrators.sppm import SPPMIntegrator
-    from trace_tpu.shapes.triangle import transform_triangles
 
     scene = build_scene()
     camera = build_camera(resolution=128, filename="/tmp/bench_anim.png")
     integ = SPPMIntegrator(
         camera, initial_search_radius=0.055, max_depth=5, n_iterations=2,
         photons_per_iteration=1 << 16,
+        fused_iterations=True, fused_block=2,
     )
     base_tris = jax.tree.map(jnp.asarray, scene.triangles_host)
 
     def frame(shift):
         set_frame_lights(scene, float(shift))
-        tris_f = transform_triangles(
-            base_tris, T.translate([0.0, 0.002 * float(shift), 0.0])
-        )
-        st = integ.render(scene, n_iterations=2, geometry=tris_f)
+        xf = T.translate([0.0, 0.002 * float(shift), 0.0])
+        st = integ.render(scene, n_iterations=2, geometry=base_tris,
+                          geometry_transform=xf)
         jax.block_until_ready(st.tau)
 
     frame(0.0)  # warm-up (compile)
@@ -239,18 +245,18 @@ def bench_animated_relight():
     return {"ms_per_frame": round(dt * 1e3, 3)}
 
 
-def main():
-    extras = {}
-    errors = {}
-    configs = [
-        ("whitted_shadows_256", bench_whitted_shadows),
-        ("cornell_mis_512", bench_cornell_path),
-        ("sppm_caustic_1024", bench_sppm_caustic),
-        ("mesh1m_whitted_256", bench_mesh_1m),
-        ("animated_relight_128", bench_animated_relight),
-    ]
+CONFIGS = [
+    ("whitted_shadows_256", bench_whitted_shadows),
+    ("cornell_mis_512", bench_cornell_path),
+    ("sppm_caustic_1024", bench_sppm_caustic),
+    ("mesh1m_whitted_256", bench_mesh_1m),
+    ("animated_relight_128", bench_animated_relight),
+]
+
+
+def _run_configs_inline(extras, errors):
     only = os.environ.get("BENCH_ONLY")
-    for name, fn in configs:
+    for name, fn in CONFIGS:
         if only and only not in name:
             continue
         try:
@@ -259,6 +265,71 @@ def main():
             traceback.print_exc()
             extras[name] = None
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+
+
+def _relay_alive(timeout_s: int = 420) -> bool:
+    """One tiny dispatch in a throwaway child. If the TPU relay is hung
+    (observed failure mode: jax.devices() blocks forever), this bounds
+    the whole bench at minutes instead of 5 per-config timeouts."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.jit(jnp.sqrt)(jnp.full((8,), 2.0)).block_until_ready();"
+             "print('ok')"],
+            env=dict(os.environ), capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except Exception:
+        return False
+
+
+def _run_configs_isolated(extras, errors):
+    """Each config in its own child process: a TPU-runtime fault (which
+    can wedge or kill the whole process, not just raise) then costs one
+    config, not the artifact. Children share the persistent compile
+    cache, so the only per-child overhead is tunnel setup."""
+    import subprocess
+    import sys
+
+    if not _relay_alive():
+        for name, _ in CONFIGS:
+            extras[name] = None
+        errors["relay"] = "TPU relay unresponsive (health-check dispatch timed out)"
+        return
+    only = os.environ.get("BENCH_ONLY")
+    for name, _ in CONFIGS:
+        if only and only not in name:
+            continue
+        env = dict(os.environ)
+        env["BENCH_ONLY"] = name
+        env["BENCH_INLINE"] = "1"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=2400,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            child = json.loads(line)
+            extras[name] = child["extras"].get(name)
+            for k, v in child["extras"].get("errors", {}).items():
+                errors[k] = v
+        except Exception as e:
+            extras[name] = None
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+
+
+def main():
+    extras = {}
+    errors = {}
+    if os.environ.get("BENCH_INLINE"):
+        _run_configs_inline(extras, errors)
+    else:
+        _run_configs_isolated(extras, errors)
     if errors:
         extras["errors"] = errors
 

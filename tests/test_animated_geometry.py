@@ -112,6 +112,92 @@ def test_animated_geometry_sppm_matches_rebuilt_scene():
                                atol=1e-5)
 
 
+def test_geometry_transform_fused_matches_host_transform():
+    # render(geometry=base, geometry_transform=xf) — the one-dispatch
+    # transform+rebuild path — must match transforming the triangles
+    # up front (same mat3_apply arithmetic, just fused under jit).
+    motion = T.compose(T.translate([0.15, -0.1, 0.3]), T.rotate_y(20.0))
+    scene = _build(T.identity())
+    base = jax.tree.map(jnp.asarray, scene.triangles_host)
+
+    integ_a = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                max_depth=3)
+    img_a = np.asarray(integ_a.camera.film.to_image(
+        integ_a.render(scene,
+                       geometry=tri_mod.transform_triangles(base, motion))))
+
+    integ_b = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                max_depth=3)
+    img_b = np.asarray(integ_b.camera.film.to_image(
+        integ_b.render(scene, geometry=base, geometry_transform=motion)))
+
+    assert img_a.max() > 0.01
+    np.testing.assert_allclose(img_b, img_a, atol=1e-5)
+
+    # Frame 2 with a different Transform must not retrace the fused
+    # builder (Transform is a traced (m, inv_m) pytree argument).
+    from trace_tpu.integrators import common as C
+
+    sizes_before = C._transform_and_build._cache_size()
+    integ_b.render(scene, geometry=base,
+                   geometry_transform=T.translate([0.0, 0.2, 0.0]))
+    assert C._transform_and_build._cache_size() == sizes_before
+
+    # SPPM threads the same fused pair through camera+photon passes.
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+
+    def _sppm(camera):
+        return SPPMIntegrator(camera, initial_search_radius=0.6,
+                              max_depth=3, n_iterations=2,
+                              photons_per_iteration=256)
+
+    st_a = _sppm(_camera(24)).render(
+        scene, geometry=tri_mod.transform_triangles(base, motion))
+    st_b = _sppm(_camera(24)).render(scene, geometry=base,
+                                     geometry_transform=motion)
+    np.testing.assert_allclose(np.asarray(st_b.tau), np.asarray(st_a.tau),
+                               atol=1e-5)
+
+
+def test_render_frames_batch_matches_sequential():
+    # render_frames: K frames (per-frame lights + per-frame rigid motion)
+    # in ONE dispatch must equal K sequential render() calls with the
+    # lights swapped and the geometry transformed per frame.
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+    from trace_tpu.lights import lights as light_mod
+
+    scene = _build(T.identity())
+    base = jax.tree.map(jnp.asarray, scene.triangles_host)
+
+    def entries(k):
+        return [point_light(T.translate([0.0, 6.0 + 0.5 * k, 0.3 * k]),
+                            (200.0 + 30.0 * k,) * 3)]
+
+    xfs = [T.translate([0.05 * k, 0.0, 0.1 * k]) for k in range(2)]
+
+    integ = SPPMIntegrator(_camera(24), initial_search_radius=0.6,
+                           max_depth=3, n_iterations=2,
+                           photons_per_iteration=256)
+    states = integ.render_frames(scene, [entries(0), entries(1)],
+                                 geometry=base, frame_transforms=xfs)
+
+    center = (scene.world_lo + scene.world_hi) / 2
+    radius = float(np.linalg.norm(scene.world_hi - center))
+    for k in range(2):
+        lights = light_mod.preprocess(
+            light_mod.pack_lights(entries(k), scene.triangles_host),
+            center, radius)
+        scene.lights = lights
+        st = integ.render(scene, n_iterations=2, geometry=base,
+                          geometry_transform=xfs[k])
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.map(lambda x: x[k], states).tau),
+            np.asarray(st.tau), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.map(lambda x: x[k], states).ld),
+            np.asarray(st.ld), atol=1e-5)
+
+
 def test_animated_geometry_second_frame_no_retrace():
     # Frame 2 with different vertices must NOT re-trace _chunk_pass
     # (the whole point: per-frame cost is a device rebuild, not a

@@ -124,7 +124,8 @@ class SamplerIntegrator:
         )
         return state, aux + aux_s
 
-    def render(self, scene, geometry=None) -> FilmState:
+    def render(self, scene, geometry=None,
+               geometry_transform=None) -> FilmState:
         """Render the scene. ``geometry`` (optional): a Triangles pytree
         (device arrays or host numpy; same topology/counts as the scene's)
         that REPLACES the scene's triangle table for this render — the
@@ -133,7 +134,12 @@ class SamplerIntegrator:
         threaded into the jitted passes as traced arguments, so frame 2+
         of an animation reuses every compiled executable: per-frame cost
         is one device rebuild (~ms) instead of a host refit + re-trace
-        (minutes through the remote-compile tunnel)."""
+        (minutes through the remote-compile tunnel).
+
+        ``geometry_transform`` (optional): a Transform applied to
+        ``geometry`` on device, fused with the accelerator rebuild into a
+        single dispatch (common._transform_and_build) — the fast path for
+        rigid per-frame motion."""
         from ..lights.lights import num_lights
 
         film = self.camera.film
@@ -143,7 +149,7 @@ class SamplerIntegrator:
         chunk = min(self.pixel_chunk, n)
         spp = self.sampler.samples_per_pixel
         key = jax.random.key(self.sampler.seed)
-        geom = common.prepare_geometry(scene, geometry)
+        geom = common.prepare_geometry(scene, geometry, geometry_transform)
         # Light table passed as a traced jit argument — animated relights
         # then reuse compiled executables. Uploaded once per light-table
         # object (relights replace scene.lights wholesale).

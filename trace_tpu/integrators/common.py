@@ -9,6 +9,8 @@ ray megabatches.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -211,7 +213,22 @@ def transmit_differentials(rd: RayDifferentials, hit, lobes, wi) -> tuple:
     return rx_o, ry_o, rx_d, ry_d
 
 
-def prepare_geometry(scene, geometry):
+@functools.partial(jax.jit, static_argnums=(2,))
+def _transform_and_build(tris, xf, leaf: int):
+    """ONE dispatch for a whole animation-frame geometry update: apply the
+    frame Transform (vertices through the matrix, normals through the
+    inverse transpose) and Morton-cluster the result, all device-side.
+    Unfused, the same work is ~20 separate relay dispatches (each jnp op
+    in transform_triangles is its own ~0.4-1 ms round-trip through the
+    remote-TPU tunnel), which dominated bench config 5's frame time."""
+    from ..accel.morton import build_clusters_device
+    from ..shapes.triangle import transform_triangles
+
+    tris_f = transform_triangles(tris, xf)
+    return tris_f, build_clusters_device(tris_f, leaf)
+
+
+def prepare_geometry(scene, geometry, transform=None):
     """Device-build traversal tables for per-frame animated geometry.
 
     ``geometry`` is a Triangles pytree (device or host arrays) with the
@@ -219,8 +236,17 @@ def prepare_geometry(scene, geometry):
     ``(Triangles, ClusterAccel)`` pair for apply_geometry, built fully on
     device (accel/morton.py Morton clustering) so a frame costs one
     ~ms-scale rebuild instead of a host SAH refit. None passes through —
-    the static-scene path stays untouched."""
+    the static-scene path stays untouched.
+
+    ``transform`` (optional): a core.transform.Transform applied to
+    ``geometry`` on device, fused with the cluster build into a single
+    dispatch (Transform is a (m, inv_m) pytree, so per-frame motion is a
+    traced argument — no retrace, no per-op dispatch storm). This is the
+    fast path for rigid per-frame motion: keep the base mesh resident and
+    pass only the frame's Transform."""
     if geometry is None:
+        if transform is not None:
+            raise ValueError("geometry_transform requires geometry")
         return None
     from ..accel.morton import build_clusters_device
     from ..shapes.triangle import num_triangles
@@ -229,6 +255,8 @@ def prepare_geometry(scene, geometry):
         "animated geometry must keep the scene's topology"
     leaf = 32 if scene.n_triangles < 300_000 else 64
     tris_dev = jax.tree.map(jnp.asarray, geometry)
+    if transform is not None:
+        return _transform_and_build(tris_dev, transform, leaf)
     return (tris_dev, build_clusters_device(tris_dev, leaf))
 
 

@@ -668,7 +668,7 @@ class SPPMIntegrator:
                progress: bool = False, state: SPPMState | None = None,
                start_iteration: int = 1,
                checkpoint_path: str | None = None,
-               geometry=None) -> SPPMState:
+               geometry=None, geometry_transform=None) -> SPPMState:
         """Run SPPM iterations. Pass (state, start_iteration) from a prior
         run (or utils.checkpoint.load_pytree) to resume bit-exactly — a
         capability the reference lacks (its radius/tau/N state is never
@@ -680,9 +680,12 @@ class SPPMIntegrator:
         and threaded into the jitted passes as a traced argument, so
         every animation frame reuses compiled executables. Single-chip
         paths only (the sharded camera/photon passes keep static
-        geometry)."""
+        geometry). ``geometry_transform`` (optional) applies a Transform
+        to ``geometry`` on device, fused with the rebuild into one
+        dispatch — pass the resident base mesh plus the frame's Transform
+        for rigid motion."""
         iters = n_iterations or self.n_iterations
-        geom = common.prepare_geometry(scene, geometry)
+        geom = common.prepare_geometry(scene, geometry, geometry_transform)
         if geom is not None and self.mesh is not None:
             raise NotImplementedError(
                 "animated geometry is single-chip for now: the sharded "
@@ -790,6 +793,17 @@ class SPPMIntegrator:
         Halton indexing and splat layout match step() exactly. Used by
         render() between snapshot/checkpoint boundaries on the
         single-chip path."""
+        return self._iterations_body(
+            scene, state, n_iters, it_start, pixels, lane_valid, key,
+            light_cdf, light_pmf, lights, geom,
+        )
+
+    def _iterations_body(self, scene, state: SPPMState, n_iters: int,
+                         it_start, pixels, lane_valid, key,
+                         light_cdf, light_pmf, lights,
+                         geom=None) -> SPPMState:
+        """Traceable core of _iterations_fused (also mapped per frame by
+        _frames_fused)."""
         n_pix = self.n_pixels
         np_iter = self.photons_per_iteration
 
@@ -825,6 +839,98 @@ class SPPMIntegrator:
             return self._update_pixels(st, ld_add)
 
         return jax.lax.fori_loop(0, n_iters, body, state)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 3, 8))
+    def _frames_fused(self, scene, state0: SPPMState, n_iters: int,
+                      pixels, lane_valid, key, lights_stack,
+                      leaf: int, xf_stack=None, base_tris=None):
+        """K whole animation frames as ONE dispatch: lax.map over stacked
+        per-frame light tables (and optionally per-frame rigid Transforms
+        of a shared base mesh — transform + Morton re-cluster run inside
+        the mapped body). Each frame is an independent SPPM run from
+        state0 with the integrator's seed, so the result equals K
+        sequential render() calls frame-for-frame (tested)."""
+        from ..accel.morton import build_clusters_device
+        from ..shapes.triangle import transform_triangles
+
+        def one(frame):
+            lights, xf = frame
+            if base_tris is None:
+                geom = None
+            else:
+                tris_f = transform_triangles(base_tris, xf)
+                geom = (tris_f, build_clusters_device(tris_f, leaf))
+            # Per-frame power distribution (lights move/recolor per frame).
+            p = spec.to_y(light_mod.power(lights))
+            cdf = jnp.cumsum(p / jnp.maximum(jnp.sum(p), 1e-20))
+            pmf = cdf - jnp.concatenate([jnp.zeros(1, F32), cdf[:-1]])
+            return self._iterations_body(
+                scene, state0, n_iters, jnp.int32(1), pixels, lane_valid,
+                key, cdf, pmf, lights, geom,
+            )
+
+        return jax.lax.map(one, (lights_stack, xf_stack))
+
+    def render_frames(self, scene, frame_lights, n_iterations: int | None = None,
+                      geometry=None, frame_transforms=None) -> SPPMState:
+        """Batch-render an animation: K frames, each ``n_iterations`` SPPM
+        iterations from a fresh state, in a single device dispatch.
+
+        The TPU-native form of the reference's per-frame loop
+        (docs/code/caustic_moving.jl:49-100): where per-frame render()
+        calls pay the host round-trip and dispatch latency K times,
+        this pays it once — the frame loop runs on device via lax.map.
+
+        - ``frame_lights``: list of K per-frame light-entry lists (as from
+          models.caustic_moving.frame_lights), packed/preprocessed here
+          against the scene bounds; every frame must have the same number
+          of lights (stacked into one [K, L, ...] traced table).
+        - ``geometry`` + ``frame_transforms``: optional shared base
+          Triangles plus K rigid Transforms — each frame's vertex
+          transform and Morton re-cluster also run inside the dispatch.
+
+        Returns the stacked SPPMState ([K, ...] leaves); slice frame k
+        with ``jax.tree.map(lambda x: x[k], states)`` and convert via
+        ``to_image``. Single-chip path (like the other animated-geometry
+        entry points)."""
+        assert self.mesh is None, "render_frames is a single-chip path"
+        iters = n_iterations or self.n_iterations
+        tris_host = getattr(scene, "triangles_host", scene.triangles)
+        center = (scene.world_lo + scene.world_hi) / 2
+        radius = float(np.linalg.norm(scene.world_hi - center))
+        tables = [
+            light_mod.preprocess(
+                light_mod.pack_lights(entries, tris_host), center, radius)
+            for entries in frame_lights
+        ]
+        n_l = {light_mod.num_lights(t) for t in tables}
+        assert len(n_l) == 1, f"frames must have equal light counts: {n_l}"
+        lights_stack = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *tables)
+
+        base_tris = xf_stack = None
+        leaf = 0
+        if geometry is not None:
+            assert frame_transforms is not None and \
+                len(frame_transforms) == len(tables)
+            base_tris = jax.tree.map(jnp.asarray, geometry)
+            xf_stack = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *frame_transforms)
+            leaf = 32 if scene.n_triangles < 300_000 else 64
+
+        state0 = initial_state(self.n_pixels, self.initial_search_radius)
+        pixels = self._pixel_grid()
+        chunk = min(self.pixel_chunk, pixels.shape[0])
+        pad = (-pixels.shape[0]) % chunk
+        part = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
+        lane_valid = np.concatenate(
+            [np.ones(pixels.shape[0], bool), np.zeros(pad, bool)])
+        return self._frames_fused(
+            scene, state0, iters, jnp.asarray(part), jnp.asarray(lane_valid),
+            jax.random.key(self.seed), lights_stack, leaf,
+            xf_stack, base_tris,
+        )
 
     def step(self, scene, state: SPPMState, iteration: int, pixels, key,
              light_cdf, light_pmf, geom=None) -> SPPMState:

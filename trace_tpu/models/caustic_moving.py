@@ -76,10 +76,25 @@ def render_animation(
     resolution: int = 256, frames=None, iterations: int = 25,
     photons_per_iteration: int = 1_250_000, max_depth: int = 5,
     out_pattern: str = "caustic-moving-{i}.png", ply_path: str = PLY_PATH,
-    refit_each_frame: bool = False, **integ_kw,
+    refit_each_frame: bool = False, motion=None, **integ_kw,
 ):
-    """Render the animation; yields (frame_index, SPPMState)."""
+    """Render the animation; yields (frame_index, SPPMState).
+
+    ``motion`` (optional): a callable shift -> core.transform.Transform
+    giving the glass mesh's rigid motion for the frame. Frames then go
+    through the fused animated-geometry path (render(geometry=base,
+    geometry_transform=xf)): one dispatch transforms the device-resident
+    mesh AND re-clusters it, with no recompiles — strictly faster than
+    ``refit_each_frame`` (which re-traces because geometry is
+    closure-baked in the static path)."""
+    import jax
+    import jax.numpy as jnp
+
     scene = build_scene(ply_path)
+    base_tris = (
+        jax.tree.map(jnp.asarray, scene.triangles_host)
+        if motion is not None else None
+    )
     frames = SHIFTS if frames is None else frames
     # One camera + integrator reused across frames: the jitted passes are
     # compiled once (lights enter as traced arguments), so frame 2+ pays
@@ -106,7 +121,11 @@ def render_animation(
                     scene.triangles.v2,
                 )
                 scene.bump_version()  # geometry is closure-baked: re-trace
-            state = integ.render(scene)
+            if motion is not None:
+                state = integ.render(scene, geometry=base_tris,
+                                      geometry_transform=motion(shift))
+            else:
+                state = integ.render(scene)
             pending.append(
                 (out_pattern.format(i=i), integ.to_image(state, iterations))
             )

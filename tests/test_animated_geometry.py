@@ -198,6 +198,39 @@ def test_render_frames_batch_matches_sequential():
             np.asarray(st.ld), atol=1e-5)
 
 
+def test_render_animation_batch_mode_matches_sequential(monkeypatch, tmp_path):
+    # caustic_moving.render_animation(batch_frames=K) must produce the
+    # same frames as the sequential loop (scene swapped for a tiny one).
+    from trace_tpu.models import caustic_moving as cm
+
+    monkeypatch.setattr(cm, "build_scene",
+                        lambda ply_path=None: _build(T.identity()))
+    monkeypatch.setattr(cm, "build_camera",
+                        lambda res, fn: _camera(16))
+    monkeypatch.setattr(
+        cm, "frame_lights",
+        lambda s: [point_light(T.translate([0.3 * s, 6.0 + s, 0.0]),
+                               (200.0 + 50.0 * s,) * 3)])
+
+    def run(tag, **kw):
+        return list(cm.render_animation(
+            resolution=16, frames=[0.0, 1.0, 2.0], iterations=2,
+            photons_per_iteration=256, max_depth=2,
+            out_pattern=str(tmp_path / (tag + "-f{i}.png")),
+            initial_search_radius=0.6, **kw))
+
+    seq = run("seq")
+    bat = run("bat", batch_frames=2)  # chunks of 2+1
+
+    assert [i for i, _ in bat] == [1, 2, 3]
+    for (_, a), (_, b) in zip(seq, bat):
+        np.testing.assert_allclose(np.asarray(b.ld), np.asarray(a.ld),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b.tau), np.asarray(a.tau),
+                                   atol=1e-5)
+    assert max(float(np.abs(np.asarray(a.ld)).max()) for _, a in seq) > 0
+
+
 def test_animated_geometry_second_frame_no_retrace():
     # Frame 2 with different vertices must NOT re-trace _chunk_pass
     # (the whole point: per-frame cost is a device rebuild, not a

@@ -76,7 +76,8 @@ def render_animation(
     resolution: int = 256, frames=None, iterations: int = 25,
     photons_per_iteration: int = 1_250_000, max_depth: int = 5,
     out_pattern: str = "caustic-moving-{i}.png", ply_path: str = PLY_PATH,
-    refit_each_frame: bool = False, motion=None, **integ_kw,
+    refit_each_frame: bool = False, motion=None, batch_frames: int = 0,
+    **integ_kw,
 ):
     """Render the animation; yields (frame_index, SPPMState).
 
@@ -86,7 +87,11 @@ def render_animation(
     geometry_transform=xf)): one dispatch transforms the device-resident
     mesh AND re-clusters it, with no recompiles — strictly faster than
     ``refit_each_frame`` (which re-traces because geometry is
-    closure-baked in the static path)."""
+    closure-baked in the static path).
+
+    ``batch_frames=K`` (optional): run the frame loop itself on device —
+    K frames per dispatch via SPPMIntegrator.render_frames (lights and
+    motion included). Incompatible with ``refit_each_frame``."""
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +107,9 @@ def render_animation(
     # (caustic_moving.jl:90).
     camera = build_camera(resolution, out_pattern.format(i=1))
     integ = SPPMIntegrator(
-        camera, initial_search_radius=0.055, max_depth=max_depth,
+        camera,
+        initial_search_radius=integ_kw.pop("initial_search_radius", 0.055),
+        max_depth=max_depth,
         n_iterations=iterations,
         photons_per_iteration=photons_per_iteration, **integ_kw,
     )
@@ -112,6 +119,33 @@ def render_animation(
     # every later frame. Device images are cheap to hold (12 MB each at
     # 1024^2).
     pending = []
+    if batch_frames > 0:
+        assert not refit_each_frame, \
+            "batch_frames runs the frame loop on device; host refit " \
+            "cannot interleave"
+        try:
+            shifts = [float(s) for s in frames]
+            for c0 in range(0, len(shifts), batch_frames):
+                chunk = shifts[c0:c0 + batch_frames]
+                states = integ.render_frames(
+                    scene, [frame_lights(s) for s in chunk],
+                    n_iterations=iterations,
+                    geometry=base_tris,
+                    frame_transforms=(
+                        [motion(s) for s in chunk]
+                        if motion is not None else None),
+                )
+                for k in range(len(chunk)):
+                    i = c0 + k + 1
+                    state = jax.tree.map(lambda x: x[k], states)
+                    pending.append((out_pattern.format(i=i),
+                                    integ.to_image(state, iterations)))
+                    yield i, state
+        finally:
+            film = camera.film
+            for path, img in pending:
+                film.save_png(film.set_image(img), path)
+        return
     try:
         for i, shift in enumerate(frames, start=1):
             scene = set_frame_lights(scene, float(shift))

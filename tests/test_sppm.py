@@ -233,3 +233,19 @@ def test_fused_iteration_blocks_match_stepwise():
     np.testing.assert_allclose(
         run(True, fused_block=2), stepwise, rtol=1e-6, atol=1e-7
     )
+
+
+def test_minimal_sphere_model_renders(tmp_path):
+    """The minimal example scene (models.sphere, reference sphere.jl)
+    renders through its own render() entry point: finite, non-black,
+    PNG written."""
+    from trace_tpu.models import sphere
+
+    import os
+
+    out = str(tmp_path / "sphere.png")
+    state = sphere.render(resolution=24, iterations=2, filename=out)
+    ld = np.asarray(state.ld)
+    assert np.isfinite(ld).all()
+    assert float(np.abs(ld).max()) > 0
+    assert os.path.exists(out)

@@ -195,6 +195,24 @@ def bench_mesh_1m():
 
     dt_lat, rays_lat = run(256, 1, 7)
     dt_thr, rays_thr = run(512, 4, 5)
+
+    # On-device LBVH-style build at 1M tris (BASELINE config 4's
+    # "on-device LBVH build" leg): Morton codes + argsort + block pack,
+    # one jitted dispatch (accel/morton.py). The host SAH build above is
+    # the static-scene default; this is the per-frame-rebuild capability.
+    from trace_tpu.accel.morton import build_clusters_device
+
+    tris = jax.tree.map(jnp.asarray, scene.triangles_host)
+    acc = build_clusters_device(tris, 64)  # warm-up (compile)
+    jax.block_until_ready(acc.packed)
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        acc = build_clusters_device(tris, 64)
+        jax.block_until_ready(acc.packed)
+        times.append(time.perf_counter() - t0)
+    dev_build_ms, _ = _median_iqr(times)
+
     return {
         "mrays": round(rays_thr / dt_thr / 1e6, 3),
         "ms_512_4spp": round(dt_thr * 1e3, 3),
@@ -202,6 +220,7 @@ def bench_mesh_1m():
         "mrays_256_1spp": round(rays_lat / dt_lat / 1e6, 3),
         "n_tris": int(scene.n_triangles),
         "build_s": round(build_s, 2),
+        "device_build_ms": round(dev_build_ms * 1e3, 3),
     }
 
 

@@ -134,20 +134,25 @@ def bench_sppm_caustic():
     scene = build_scene()
     camera = build_camera(resolution=1024,
                           filename="/tmp/bench_caustic.png")
-    fused = os.environ.get("BENCH_SPPM_FUSED")
+    # BENCH_SPPM_FUSED=k (k>0): one dispatch per k iterations instead of
+    # ~10 per iteration. Opt-in until the capped fused path has a clean
+    # validation run at flagship scale on the current relay (unbounded
+    # blocks faulted the TPU runtime in round 1). 0/unset disables.
+    fused_k = int(os.environ.get("BENCH_SPPM_FUSED") or 0)
     integ = SPPMIntegrator(
         camera, initial_search_radius=0.075, max_depth=8,
         n_iterations=100, photons_per_iteration=1 << 18,
-        # BENCH_SPPM_FUSED=k: one dispatch per k iterations instead of
-        # ~10 per iteration. Opt-in until the capped fused path has a
-        # clean validation run at flagship scale on the current relay
-        # (unbounded blocks faulted the TPU runtime in round 1).
-        fused_iterations=bool(fused), fused_block=int(fused or 8),
+        fused_iterations=fused_k > 0,
+        fused_block=fused_k if fused_k > 0 else 8,
     )
-    state = integ.render(scene, n_iterations=2)  # warm-up (compile)
+    n_timed = 10
+    # Warm-up must compile the same dispatch shapes as the timed run:
+    # the fused path's block length is a static jit arg, so a short warm
+    # run would leave the timed run paying an XLA compile mid-timing.
+    state = integ.render(scene,
+                         n_iterations=n_timed if fused_k > 0 else 2)
     jax.block_until_ready(state.tau)
 
-    n_timed = 10
     t0 = time.perf_counter()
     state = integ.render(scene, n_iterations=n_timed)
     jax.block_until_ready(state.tau)

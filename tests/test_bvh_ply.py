@@ -183,3 +183,30 @@ def test_bvh_refit_native_matches_rebuild_bounds():
         ids = order[start[node]:start[node] + n_prims[node]]
         np.testing.assert_allclose(lo[node], moved[ids, 0].min(0), atol=1e-5)
         np.testing.assert_allclose(hi[node], moved[ids, 1].max(0), atol=1e-5)
+
+
+def test_stale_native_library_falls_back_to_numpy(tmp_path, monkeypatch):
+    """A loadable .so missing newer symbols (stale build artifact with a
+    preserved mtime) must make native.load() return None — the promised
+    NumPy-fallback path — not leak an AttributeError out of binding."""
+    import subprocess
+    import sys
+
+    import trace_tpu.native as native
+
+    src = tmp_path / "stale.cpp"
+    src.write_text('extern "C" long bvh_build() { return 0; }\n')
+    so = tmp_path / "stale.so"
+    try:
+        subprocess.run(
+            ["g++", "-shared", "-fPIC", "-o", str(so), str(src)],
+            check=True, capture_output=True, timeout=60,
+        )
+    except Exception:
+        pytest.skip("no g++ available")
+    monkeypatch.setattr(native, "_build_library", lambda: str(so))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_attempted", False)
+    assert native.load() is None
+    # Cached-negative thereafter.
+    assert native.load() is None

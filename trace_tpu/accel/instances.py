@@ -124,18 +124,11 @@ def build_instances(
 # ---------------------------------------------------------------------------
 
 def _instance_entry(lo, hi, o, d, t_max):
-    """Slab entry distance per (ray, instance) world AABB: [N, I]."""
-    inv_d = 1.0 / d
-    t0 = (lo[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
-    t1 = (hi[None, :, :] - o[:, None, :]) * inv_d[:, None, :]
-    near = jnp.minimum(t0, t1)
-    far = jnp.maximum(t0, t1)
-    near = jnp.where(jnp.isnan(near), -jnp.inf, near)
-    far = jnp.where(jnp.isnan(far), jnp.inf, far)
-    tn = jnp.max(near, axis=-1)
-    tf = jnp.min(far, axis=-1) * 1.00000024
-    ok = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None])
-    return jnp.where(ok, jnp.maximum(tn, 0.0), jnp.inf)
+    """Slab entry distance per (ray, instance) world AABB: [N, I].
+    Same robustness rules as every other box sweep (shared helper)."""
+    from .clusters import _entry_boxes
+
+    return _entry_boxes(lo, hi, o, d, t_max)
 
 
 def _apply44_point(m44, p):

@@ -270,7 +270,13 @@ def apply_geometry(scene, geom):
     from ..accel.clusters import ClusterAccelerator
 
     tris, acc = geom
-    return scene.with_geometry(tris, ClusterAccelerator(acc, stage_clusters=64))
+    # Stage width follows SceneBuilder.build's measured big-scene tuning
+    # (leaf 64 / stage 128 from ~200k tris: 107 vs 72 Mrays/s at 1M on
+    # v5e); tri count is static under jit (cluster table shape).
+    n_tris = acc.tri_id.shape[0] * acc.leaf_tris
+    stage = 128 if n_tris >= 200_000 else 64
+    return scene.with_geometry(
+        tris, ClusterAccelerator(acc, stage_clusters=stage))
 
 
 def sanitize_radiance(l):

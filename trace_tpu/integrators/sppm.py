@@ -840,21 +840,24 @@ class SPPMIntegrator:
 
         return jax.lax.fori_loop(0, n_iters, body, state)
 
-    @functools.partial(jax.jit, static_argnums=(0, 1, 3, 8))
-    def _frames_fused(self, scene, state0: SPPMState, n_iters: int,
-                      pixels, lane_valid, key, lights_stack,
+    @functools.partial(jax.jit, static_argnums=(0, 1, 3, 9))
+    def _frames_fused(self, scene, states: SPPMState, n_iters: int,
+                      it_start, pixels, lane_valid, key, lights_stack,
                       leaf: int, xf_stack=None, base_tris=None):
-        """K whole animation frames as ONE dispatch: lax.map over stacked
-        per-frame light tables (and optionally per-frame rigid Transforms
-        of a shared base mesh — transform + Morton re-cluster run inside
-        the mapped body). Each frame is an independent SPPM run from
-        state0 with the integrator's seed, so the result equals K
-        sequential render() calls frame-for-frame (tested)."""
+        """``n_iters`` SPPM iterations of K animation frames as ONE
+        dispatch: lax.map over stacked per-frame light tables, states
+        (and optionally per-frame rigid Transforms of a shared base mesh
+        — transform + Morton re-cluster run inside the mapped body).
+        ``states`` carries each frame's SPPMState ([K, ...] leaves) in
+        and out, so render_frames can chunk the iteration axis across
+        dispatches (the fused_block cap) without changing results: each
+        frame is an independent SPPM run with the integrator's seed,
+        equal to K sequential render() calls frame-for-frame (tested)."""
         from ..accel.morton import build_clusters_device
         from ..shapes.triangle import transform_triangles
 
         def one(frame):
-            lights, xf = frame
+            lights, xf, state = frame
             if base_tris is None:
                 geom = None
             else:
@@ -865,21 +868,27 @@ class SPPMIntegrator:
             cdf = jnp.cumsum(p / jnp.maximum(jnp.sum(p), 1e-20))
             pmf = cdf - jnp.concatenate([jnp.zeros(1, F32), cdf[:-1]])
             return self._iterations_body(
-                scene, state0, n_iters, jnp.int32(1), pixels, lane_valid,
+                scene, state, n_iters, it_start, pixels, lane_valid,
                 key, cdf, pmf, lights, geom,
             )
 
-        return jax.lax.map(one, (lights_stack, xf_stack))
+        return jax.lax.map(one, (lights_stack, xf_stack, states))
 
     def render_frames(self, scene, frame_lights, n_iterations: int | None = None,
                       geometry=None, frame_transforms=None) -> SPPMState:
         """Batch-render an animation: K frames, each ``n_iterations`` SPPM
-        iterations from a fresh state, in a single device dispatch.
+        iterations from a fresh state, in a handful of device dispatches.
 
         The TPU-native form of the reference's per-frame loop
         (docs/code/caustic_moving.jl:49-100): where per-frame render()
         calls pay the host round-trip and dispatch latency K times,
-        this pays it once — the frame loop runs on device via lax.map.
+        this pays it once per iteration block — the frame loop runs on
+        device via lax.map. Like render()'s fused path, each dispatch is
+        capped at ``fused_block`` total sequential iteration bodies
+        (K frames × B iterations per dispatch; long uncapped fused
+        dispatches faulted the TPU runtime, see __init__): per-frame
+        states thread through the blocks, so results are independent of
+        the cap (tested).
 
         - ``frame_lights``: list of K per-frame light-entry lists (as from
           models.caustic_moving.frame_lights), packed/preprocessed here
@@ -919,18 +928,34 @@ class SPPMIntegrator:
                 *frame_transforms)
             leaf = 32 if scene.n_triangles < 300_000 else 64
 
+        k_frames = len(tables)
         state0 = initial_state(self.n_pixels, self.initial_search_radius)
+        states = jax.tree.map(
+            lambda x: jnp.broadcast_to(
+                jnp.asarray(x), (k_frames,) + jnp.shape(x)), state0)
         pixels = self._pixel_grid()
         chunk = min(self.pixel_chunk, pixels.shape[0])
         pad = (-pixels.shape[0]) % chunk
         part = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
         lane_valid = np.concatenate(
             [np.ones(pixels.shape[0], bool), np.zeros(pad, bool)])
-        return self._frames_fused(
-            scene, state0, iters, jnp.asarray(part), jnp.asarray(lane_valid),
-            jax.random.key(self.seed), lights_stack, leaf,
-            xf_stack, base_tris,
-        )
+        part = jnp.asarray(part)
+        lane_valid = jnp.asarray(lane_valid)
+        key = jax.random.key(self.seed)
+
+        # Dispatch-length cap: each _frames_fused call runs K × B
+        # sequential iteration bodies; keep that within fused_block (one
+        # iteration per frame minimum).
+        block = max(1, self.fused_block // k_frames)
+        it = 1
+        while it <= iters:
+            n = min(block, iters - it + 1)
+            states = self._frames_fused(
+                scene, states, n, jnp.int32(it), part, lane_valid,
+                key, lights_stack, leaf, xf_stack, base_tris,
+            )
+            it += n
+        return states
 
     def step(self, scene, state: SPPMState, iteration: int, pixels, key,
              light_cdf, light_pmf, geom=None) -> SPPMState:

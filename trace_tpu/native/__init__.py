@@ -52,8 +52,17 @@ def load() -> ctypes.CDLL | None:
         return None
     try:
         lib = ctypes.CDLL(path)
-    except OSError:
+        _bind_signatures(lib)
+    except (OSError, AttributeError):
+        # AttributeError: a stale .so missing newer symbols (e.g. a
+        # preserved-mtime restore of sources over an old build artifact)
+        # must fall back to NumPy like any other load failure.
         return None
+    _lib = lib
+    return _lib
+
+
+def _bind_signatures(lib) -> None:
     lib.bvh_build.restype = ctypes.c_int64
     lib.bvh_build.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
@@ -86,5 +95,3 @@ def load() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
-    _lib = lib
-    return _lib

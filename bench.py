@@ -172,6 +172,10 @@ def bench_mesh_1m():
     from trace_tpu.sampler.uniform import UniformSampler
 
     max_depth = 2
+    from trace_tpu.native import load as load_native
+
+    load_native()  # one-time g++ compile of the native lib, if needed —
+    # not part of the per-scene build cost being measured.
     tb0 = time.perf_counter()
     scene = build_scene()  # scene default: Pallas sweep on TPU
     build_s = time.perf_counter() - tb0

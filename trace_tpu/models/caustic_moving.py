@@ -90,8 +90,9 @@ def render_animation(
     closure-baked in the static path).
 
     ``batch_frames=K`` (optional): run the frame loop itself on device —
-    K frames per dispatch via SPPMIntegrator.render_frames (lights and
-    motion included). Incompatible with ``refit_each_frame``."""
+    chunks of K frames via SPPMIntegrator.render_frames (lights and
+    motion included; dispatches capped at fused_block iteration bodies).
+    Incompatible with ``refit_each_frame``."""
     import jax
     import jax.numpy as jnp
 

@@ -1043,6 +1043,18 @@ class SPPMIntegrator:
                 "rays_dispatched",
                 n_pix * self.max_depth * 2 + np_iter * self.max_depth,
             )
+            # Grid occupancy (SURVEY §5 observability): distinct occupied
+            # cells vs live visible points this iteration. Host syncs are
+            # fine here — stats is opt-in (see need_host_total above).
+            sc = grid["sorted_cells"]
+            occupied = jnp.sum(
+                (sc[1:] != sc[:-1]) & (sc[1:] < self.n_pixels)
+            ) + (sc[0] < self.n_pixels).astype(jnp.int32)
+            self.stats.add("grid_cells_occupied", int(occupied))
+            self.stats.add(
+                "visible_points",
+                int(jnp.sum(vp.valid & ~spec.is_black(vp.beta))),
+            )
         phi, m_cnt = state.phi, state.m
         if self.mesh is not None:
             from ..parallel.sppm import pair_pass_sharded

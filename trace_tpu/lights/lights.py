@@ -111,7 +111,10 @@ def pack_lights(entries, tris: tri_mod.Triangles | None = None) -> Lights:
     two_sided = np.zeros(n, bool)
 
     tri_areas = None
-    if tris is not None and tri_mod.num_triangles(tris) > 0:
+    # Per-triangle areas are only consumed by area lights; skip the
+    # all-triangle cross products (~0.27 s at 1M tris) otherwise.
+    if (tris is not None and tri_mod.num_triangles(tris) > 0
+            and any(e["kind"] == AREA for e in entries)):
         tri_areas = tri_mod.areas_np(tris)
 
     for j, e in enumerate(entries):

@@ -103,6 +103,8 @@ def concat_triangles(parts) -> Triangles:
     parts = [p for p in parts if p.v0.shape[0] > 0]
     if not parts:
         return empty_triangles()
+    if len(parts) == 1:  # single mesh: no copy (~0.3 s at 1M tris)
+        return parts[0]
     import jax
     return jax.tree.map(lambda *xs: np.concatenate(
         [np.asarray(x) for x in xs], axis=0), *parts)

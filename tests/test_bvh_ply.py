@@ -210,3 +210,50 @@ def test_stale_native_library_falls_back_to_numpy(tmp_path, monkeypatch):
     assert native.load() is None
     # Cached-negative thereafter.
     assert native.load() is None
+
+
+def _ply_header(fmt, nv, nf, extra_vprops=""):
+    return (
+        "ply\nformat {} 1.0\n"
+        "element vertex {}\nproperty float x\nproperty float y\nproperty float z\n"
+        "{}"
+        "element face {}\nproperty list uchar int vertex_indices\nend_header\n"
+    ).format(fmt, nv, extra_vprops, nf).encode("ascii")
+
+
+def test_ply_binary_big_endian_quads(tmp_path):
+    # Fixed-arity quad faces through the binary fast path: fan
+    # triangulation must split each quad into two triangles.
+    path = tmp_path / "quads_be.ply"
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [2, 0, 0], [2, 1, 0]], np.float32)
+    body = verts.astype(">f4").tobytes()
+    for quad in ([0, 1, 2, 3], [1, 4, 5, 2]):
+        body += np.uint8(4).tobytes() + np.asarray(quad, ">i4").tobytes()
+    path.write_bytes(_ply_header("binary_big_endian", 6, 2) + body)
+    from trace_tpu.io.ply import load_ply
+
+    m = load_ply(str(path))
+    np.testing.assert_allclose(m["vertices"], verts)
+    np.testing.assert_array_equal(
+        m["indices"],
+        [[0, 1, 2], [0, 2, 3], [1, 4, 5], [1, 5, 2]],
+    )
+
+
+def test_ply_binary_ragged_faces(tmp_path):
+    # Mixed tri/quad counts force the ragged slow path.
+    path = tmp_path / "ragged_le.ply"
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [2, 0, 0]], np.float32)
+    body = verts.astype("<f4").tobytes()
+    body += np.uint8(4).tobytes() + np.asarray([0, 1, 2, 3], "<i4").tobytes()
+    body += np.uint8(3).tobytes() + np.asarray([1, 4, 2], "<i4").tobytes()
+    path.write_bytes(_ply_header("binary_little_endian", 5, 2) + body)
+    from trace_tpu.io.ply import load_ply
+
+    m = load_ply(str(path))
+    np.testing.assert_array_equal(
+        m["indices"], [[0, 1, 2], [0, 2, 3], [1, 4, 2]]
+    )

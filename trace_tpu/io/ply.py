@@ -98,8 +98,11 @@ def load_ply(path: str):
                 idx_dt = np.dtype(endian + idx_t)
                 k0 = int(np.frombuffer(body, cnt_dt, count=1, offset=offset)[0])
                 rec = np.dtype([("n", endian + cnt_t), ("v", endian + idx_t, (k0,))])
-                arr = np.frombuffer(body, rec, count=count, offset=offset)
-                if np.all(arr["n"] == k0):
+                try:
+                    arr = np.frombuffer(body, rec, count=count, offset=offset)
+                except ValueError:  # ragged with shrinking tail: short buffer
+                    arr = None
+                if arr is not None and np.all(arr["n"] == k0):
                     out["faces"] = arr["v"].astype(np.int64)
                     offset += rec.itemsize * count
                 else:  # ragged: slow path

@@ -249,3 +249,32 @@ def test_animated_geometry_second_frame_no_retrace():
     f2 = tri_mod.transform_triangles(base, T.translate([0.0, 0.10, 0.0]))
     integ.render(scene, geometry=f2)
     assert SamplerIntegrator._chunk_pass._cache_size() == sizes_before
+
+
+def test_animated_geometry_mirror_transform_flips_orientation():
+    # A handedness-swapping frame transform (det < 0) must re-establish
+    # pack_triangle_mesh's flip invariant: transform_triangles XORs the
+    # determinant sign into flip_normal, so the animated path still
+    # matches a scene packed with the mirrored object_to_world.
+    mirror = T.compose(T.translate([0.2, 0.0, 0.0]), T.scale(-1.0, 1.0, 1.0))
+
+    scene_moved = _build(mirror)
+    integ_a = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                max_depth=3)
+    img_a = np.asarray(
+        integ_a.camera.film.to_image(integ_a.render(scene_moved)))
+
+    scene = _build(T.identity())
+    base = jax.tree.map(jnp.asarray, scene.triangles_host)
+    tris_m = tri_mod.transform_triangles(base, mirror)
+    np.testing.assert_array_equal(
+        np.asarray(tris_m.flip_normal),
+        ~np.asarray(scene.triangles_host.flip_normal),
+    )
+    integ_b = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                max_depth=3)
+    img_b = np.asarray(
+        integ_b.camera.film.to_image(integ_b.render(scene,
+                                                    geometry=tris_m)))
+    assert img_a.max() > 0.01
+    np.testing.assert_allclose(img_b, img_a, atol=2e-3)

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from trace_tpu.core import transform as T
 from trace_tpu.film.filters import LanczosSincFilter, BoxFilter
@@ -193,3 +194,116 @@ def test_pbrt_convention_camera_aims_at_target():
     # ~90 deg fov: corner rays ~60+ degrees apart.
     assert float(np.dot(d[1], d[2])) < 0.5
     assert np.allclose(np.asarray(rd.o), np.array(eye), atol=1e-4)
+
+
+def test_film_invalid_lane_does_not_dim_footprint():
+    # A disabled (padded) lane at pixel (0,0) must contribute NOTHING —
+    # including filter weight_sum: its Lanczos footprint reaches crop
+    # pixels 1..4 and would otherwise dim the corner (base.py pads chunk
+    # tails with pixel (0,0), lane_valid False).
+    film = Film((16, 16), filter=LanczosSincFilter((4.0, 4.0), 3.0))
+    state = film.initial_state()
+    p = jnp.array([[0.0, 0.0]], jnp.float32)
+    L = jnp.zeros((1, 3), jnp.float32)
+    state = film.add_samples(
+        state, p, L, jnp.zeros(1, jnp.float32),
+        valid=jnp.zeros(1, bool),
+    )
+    assert float(np.abs(np.asarray(state.weight_sum)).max()) == 0.0
+    # Same lane with valid=True DOES land weight (the guard is the mask,
+    # not the footprint clamp).
+    state2 = film.add_samples(
+        state, p, L, jnp.ones(1, jnp.float32),
+        valid=jnp.ones(1, bool),
+    )
+    assert float(np.abs(np.asarray(state2.weight_sum)).max()) > 0.0
+
+
+def test_film_out_of_crop_splats_dropped():
+    film = Film((8, 8))
+    state = film.initial_state()
+    p = jnp.array([[-3.0, 4.0], [100.0, 4.0], [4.5, 4.5]], jnp.float32)
+    L = jnp.ones((3, 3), jnp.float32)
+    state = film.add_splats(state, p, L)
+    s = np.asarray(state.splat_xyz)
+    # Only the in-crop splat lands; the OOB ones are dropped, not clamped
+    # onto the border columns.
+    assert s[3, 3].sum() > 0
+    assert s[3, 0].sum() == 0.0 and s[3, 7].sum() == 0.0
+    assert float(s.sum()) == pytest.approx(float(s[3, 3].sum()))
+
+
+def test_distribution1d_under_jit():
+    d = Distribution1D([1.0, 3.0, 2.0])
+    u = jnp.array([0.05, 0.5, 0.95], jnp.float32)
+    idx_e, pdf_e, rem_e = d.sample_discrete(u)
+    idx_j, pdf_j, rem_j = jax.jit(d.sample_discrete)(u)
+    np.testing.assert_array_equal(np.asarray(idx_e), np.asarray(idx_j))
+    np.testing.assert_allclose(np.asarray(pdf_e), np.asarray(pdf_j))
+    np.testing.assert_allclose(np.asarray(rem_e), np.asarray(rem_j))
+    x_e, p_e, o_e = d.sample_continuous(u)
+    x_j, p_j, o_j = jax.jit(d.sample_continuous)(u)
+    # jit fuses the divide differently -> 1 ulp
+    np.testing.assert_allclose(np.asarray(x_e), np.asarray(x_j), rtol=1e-6)
+
+
+def test_radical_inverse_large_index_no_overflow():
+    # Digit reversal of a full uint32 index overflows a single uint32
+    # accumulator for bases >= 3 (e.g. base 5: 14 digits -> up to ~6.1e9).
+    # Oracle: exact integer reversal in Python, scaled in float64.
+    idxs = np.array([1_300_000_001, 3_500_000_000, 4_294_967_295],
+                    np.uint32)
+    from trace_tpu.sampler.halton import PRIMES
+    for base_index in (1, 2, 3):  # bases 3, 5, 7
+        b = int(PRIMES[base_index])
+        out = np.asarray(radical_inverse(base_index, jnp.asarray(idxs)))
+        for i, a in enumerate(idxs.tolist()):
+            rev, n_dig = 0, 0
+            aa = a
+            while aa:
+                rev = rev * b + aa % b
+                aa //= b
+                n_dig += 1
+            oracle = rev / float(b) ** n_dig
+            assert out[i] == pytest.approx(oracle, abs=2e-6), (b, a)
+
+
+def test_camera_requires_film():
+    with pytest.raises(ValueError):
+        PerspectiveCamera(T.identity(), fov=60.0)
+
+
+@pytest.mark.parametrize("convention", ["reference", "pbrt"])
+def test_dof_lens_rays_converge_at_focal_plane(convention):
+    # Camera-space rays travel toward -z; with a lens, all rays for one
+    # film point must still head INTO the scene (d.z < 0 — the reference
+    # divides by +d.z, perspective.jl:99, flipping them backwards) and
+    # converge at the focal plane z = -focal_distance.
+    film = Film((64, 64))
+    fd = 5.0
+    cam = PerspectiveCamera(T.identity(), film=film, fov=60.0,
+                            convention=convention,
+                            lens_radius=0.2, focal_distance=fd)
+    p = jnp.tile(jnp.asarray([[20.5, 40.5]], jnp.float32), (8, 1))
+    u = jax.random.uniform(jax.random.key(7), (8, 2))
+    o, d = cam._one_ray(p, u)
+    o, d = np.asarray(o), np.asarray(d)
+    assert np.all(d[:, 2] < 0)
+    # March each lens ray to the focal plane: common convergence point.
+    t = (-fd - o[:, 2]) / d[:, 2]
+    assert np.all(t > 0)
+    pts = o + t[:, None] * d
+    assert np.max(np.ptp(pts, axis=0)) < 1e-4
+
+
+def test_dof_pinhole_matches_zero_radius_limit():
+    # lens_radius -> 0 converges to the pinhole ray.
+    film = Film((32, 32))
+    p = jnp.asarray([[10.5, 22.5]], jnp.float32)
+    u = jnp.asarray([[0.3, 0.8]], jnp.float32)
+    cam0 = PerspectiveCamera(T.identity(), film=film, fov=60.0)
+    o0, d0 = cam0._one_ray(p, u)
+    cam1 = PerspectiveCamera(T.identity(), film=film, fov=60.0,
+                             lens_radius=1e-5, focal_distance=5.0)
+    o1, d1 = cam1._one_ray(p, u)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)

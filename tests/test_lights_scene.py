@@ -145,3 +145,65 @@ def test_transmittance_matches_occlusion():
     assert tr.shape == (2, 3)
     np.testing.assert_array_equal(tr[:, 0] > 0, vis)
     assert tr[0].max() == 0.0 and tr[1].min() == 1.0
+
+
+def test_distant_light_sample_le_direction():
+    # Photons from a distant light must start on the LIGHT side of the
+    # scene sphere and travel along -direction (direction points toward
+    # the light, per sample_li): PBRT Ray(pDisk + wr*wLight, -wLight).
+    lights = L.pack_lights(
+        [L.distant_light(T.identity(), (3.0, 3.0, 3.0), (0.0, 1.0, 0.0))]
+    )
+    wc, wr = np.zeros(3), 10.0
+    lights = L.preprocess(lights, wc, wr)
+    n = 64
+    le, o, d, n_l, pdf_pos, pdf_dir = L.sample_le(
+        lights, jnp.zeros(n, jnp.int32),
+        jax.random.uniform(jax.random.key(0), (n, 2)),
+        jax.random.uniform(jax.random.key(1), (n, 2)),
+        jnp.zeros(n),
+    )
+    d, o = np.asarray(d), np.asarray(o)
+    np.testing.assert_allclose(d, np.tile([0.0, -1.0, 0.0], (n, 1)), atol=1e-6)
+    # Origins on the +direction (light) side of the scene center.
+    assert np.all((o - wc) @ np.asarray([0.0, 1.0, 0.0]) > 0)
+    # Photon beams must cross the bounding sphere's equatorial disk.
+    np.testing.assert_allclose(np.asarray(pdf_pos), 1 / (np.pi * wr**2), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pdf_dir), 1.0)
+
+
+def _area_light_scene(two_sided):
+    b = SceneBuilder()
+    from trace_tpu.materials.textures import ConstantTexture
+    mid = b.material(MatteMaterial(ConstantTexture([0.5, 0.5, 0.5]),
+                                   ConstantTexture(0.0)))
+    tris = np.array([[0, 1, 2]], np.int64)
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    b.triangle_mesh(T.identity(), tris, verts, material=mid,
+                    emission=(5.0, 5.0, 5.0), two_sided=two_sided)
+    return b.build()
+
+
+@pytest.mark.parametrize("two_sided", [False, True])
+def test_area_light_sample_le_sides(two_sided):
+    s = _area_light_scene(two_sided)
+    n = 512
+    le, o, d, n_l, pdf_pos, pdf_dir = L.sample_le(
+        s.lights, jnp.zeros(n, jnp.int32),
+        jax.random.uniform(jax.random.key(2), (n, 2)),
+        jax.random.uniform(jax.random.key(3), (n, 2)),
+        jnp.zeros(n),
+        tris=s.triangles, max_area_tris=s.max_area_tris,
+    )
+    cos = np.sum(np.asarray(d) * np.asarray(n_l), axis=-1)
+    if two_sided:
+        # Both hemispheres populated, pdf halved: pdf = |cos|/(2pi).
+        assert (cos > 1e-4).sum() > n // 4 and (cos < -1e-4).sum() > n // 4
+        np.testing.assert_allclose(
+            np.asarray(pdf_dir), np.abs(cos) / (2 * np.pi), atol=1e-5
+        )
+    else:
+        assert np.all(cos > -1e-6)
+        np.testing.assert_allclose(
+            np.asarray(pdf_dir), np.abs(cos) / np.pi, atol=1e-5
+        )

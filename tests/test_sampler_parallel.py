@@ -103,3 +103,22 @@ def test_sppm_full_spmd_runs():
     st = integ.render(scene)
     img = np.asarray(integ.to_image(st, 1))
     assert np.isfinite(img).all() and img.max() > 0.0
+
+
+def test_sharded_sppm_helpers_cache_executables():
+    # The shard_map bodies must be jitted ONCE per (integ, scene, mesh,
+    # axis) — a fresh jax.jit(closure) per call would recompile the pair
+    # sweep every SPPM iteration.
+    from trace_tpu.parallel import sppm as psppm
+    from trace_tpu.parallel.render import make_mesh
+
+    class _I:  # hashable stand-ins
+        n_pixels = 8
+    i, s = _I(), _I()
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    assert psppm._photon_walk_jit(i, s, mesh, "rays") is \
+        psppm._photon_walk_jit(i, s, mesh, "rays")
+    assert psppm._pair_jit(i, mesh, "rays", 4) is \
+        psppm._pair_jit(i, mesh, "rays", 4)
+    assert psppm._camera_pass_jit(i, s, mesh, "rays") is \
+        psppm._camera_pass_jit(i, s, mesh, "rays")

@@ -30,13 +30,18 @@ class PerspectiveCamera:
         lens_radius: float = 0.0,
         focal_distance: float = 1e6,
         fov: float = 90.0,
-        film: Film | None = None,
+        film: Film = None,  # required; keyword-positioned for API parity
         convention: str = "reference",
     ):
         """``convention``: "reference" replicates the Julia code's literal
         camera math (its transposed perspective matrix — pixel parity);
         "pbrt" uses the standard PBRT projection for well-framed output.
         """
+        if film is None:
+            raise ValueError(
+                "PerspectiveCamera requires a Film (the raster transform "
+                "chain is built from film.resolution)"
+            )
         self.camera_to_world = camera_to_world
         self.shutter_open = float(shutter_open)
         self.shutter_close = float(shutter_close)
@@ -104,7 +109,14 @@ class PerspectiveCamera:
         o = jnp.zeros_like(d)
         if self.lens_radius > 0:
             p_lens = self.lens_radius * m.concentric_sample_disk(u_lens)
-            ft = self.focal_distance / d[..., 2]
+            # Camera-space rays travel toward -z (both conventions), so
+            # the focal plane sits at z = -focal_distance: ft must be
+            # focal_distance / -d.z. The reference divides by +d.z
+            # (perspective.jl:99, PBRT's formula under PBRT's +z
+            # convention), which flips every lens ray to point backwards
+            # — a latent bug there (no reference scene sets
+            # lens_radius > 0); fixed here, like ray.jl's ry_direction.
+            ft = self.focal_distance / -d[..., 2]
             p_focus = d * ft[..., None]
             o = jnp.concatenate([p_lens, jnp.zeros_like(p_lens[..., :1])], axis=-1)
             d = m.normalize(p_focus - o)

@@ -112,12 +112,16 @@ class Film:
             jnp.zeros((h, w, 3), F32), jnp.zeros((h, w), F32), jnp.zeros((h, w, 3), F32)
         )
 
-    def add_samples(self, state: FilmState, p_film, L_rgb, sample_weight) -> FilmState:
+    def add_samples(self, state: FilmState, p_film, L_rgb, sample_weight,
+                    valid=None) -> FilmState:
         """Scatter N samples over their filter footprints (film.jl:134-164).
 
         p_film: [N, 2] 1-based continuous film coords; L_rgb: [N, 3];
-        sample_weight: [N]. Invalid samples can be disabled by passing
-        sample_weight 0 and L 0 (both contributions are weighted).
+        sample_weight: [N]. ``valid`` ([N] bool, optional) disables lanes
+        entirely — both the xyz contribution AND the filter weight_sum
+        (sample_weight alone only scales xyz, reference semantics, so a
+        padded lane with weight 0 would still dim its footprint's pixels
+        through weight_sum).
         """
         d = p_film - 0.5
         r = jnp.asarray(self.filter.radius, F32)
@@ -164,8 +168,10 @@ class Film:
             axis=-1,
         )
         w = self.filter(pts)                                  # [N, fy, fx]
-        mask = (in_y[:, :, None] & in_x[:, None, :]).astype(F32)
-        w = w * mask
+        mask = in_y[:, :, None] & in_x[:, None, :]
+        if valid is not None:
+            mask = mask & valid[:, None, None]
+        w = w * mask.astype(F32)
 
         ix = (px - self.crop_min[0]).astype(jnp.int32)               # [N, fx]
         iy = (py - self.crop_min[1]).astype(jnp.int32)               # [N, fy]
@@ -185,15 +191,18 @@ class Film:
         return FilmState(new_xyz, new_ws, state.splat_xyz)
 
     def add_splats(self, state: FilmState, p_film, L_rgb) -> FilmState:
-        """Unfiltered splat additions at integer pixels."""
-        ix = jnp.clip(
-            jnp.floor(p_film[:, 0]).astype(jnp.int32) - self.crop_min[0], 0, self.width - 1
+        """Unfiltered splat additions at integer pixels. Splats outside
+        the crop are dropped (PBRT AddSplat), not clamped onto the border.
+        """
+        ix = jnp.floor(p_film[:, 0]).astype(jnp.int32) - self.crop_min[0]
+        iy = jnp.floor(p_film[:, 1]).astype(jnp.int32) - self.crop_min[1]
+        inb = (
+            (ix >= 0) & (ix < self.width) & (iy >= 0) & (iy < self.height)
         )
-        iy = jnp.clip(
-            jnp.floor(p_film[:, 1]).astype(jnp.int32) - self.crop_min[1], 0, self.height - 1
+        flat = jnp.clip(iy, 0, self.height - 1) * self.width + jnp.clip(
+            ix, 0, self.width - 1
         )
-        flat = iy * self.width + ix
-        xyz = spec.rgb_to_xyz(L_rgb)
+        xyz = spec.rgb_to_xyz(L_rgb) * inb[:, None]
         new_splat = (
             state.splat_xyz.reshape(-1, 3).at[flat].add(xyz).reshape(state.splat_xyz.shape)
         )

@@ -121,6 +121,7 @@ class SamplerIntegrator:
             state, p_film,
             jnp.where(lane_valid[..., None], l, 0.0),
             jnp.where(lane_valid, weight, 0.0),
+            valid=lane_valid,
         )
         return state, aux + aux_s
 

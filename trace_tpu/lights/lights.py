@@ -312,18 +312,22 @@ def sample_le(lights: Lights, idx, u1, u2, time, tris=None, max_area_tris: int =
         m.uniform_sphere_pdf(),
     )
 
-    # Distant: disk of scene-bounding-sphere radius (PBRT).
+    # Distant: disk of scene-bounding-sphere radius (PBRT; the reference
+    # has no directional sample_le — directional.jl stops at sample_li).
+    # ``direction`` points TOWARD the light (sample_li convention), so
+    # photons start on the light side of the scene and travel along
+    # -direction: Ray(pDisk + wr*wLight, -wLight).
     wc, wr = lights.world_center, lights.world_radius
     _, v1, v2 = m.coordinate_system(g["direction"])
     cd = m.concentric_sample_disk(u1)
     p_disk = (
         wc
         + wr * (cd[:, 0:1] * v1 + cd[:, 1:2] * v2)
-        - wr * g["direction"]
+        + wr * g["direction"]
     )
     is_dist = kind == DISTANT
     o = jnp.where(is_dist[:, None], p_disk, o)
-    d = jnp.where(is_dist[:, None], g["direction"], d)
+    d = jnp.where(is_dist[:, None], -g["direction"], d)
     pdf_pos = jnp.where(
         is_dist, 1.0 / jnp.maximum(m.PI * wr * wr, 1e-20), pdf_pos
     )
@@ -332,9 +336,25 @@ def sample_le(lights: Lights, idx, u1, u2, time, tris=None, max_area_tris: int =
     n_light = d
     if max_area_tris > 0 and tris is not None:
         p_a, n_a = _sample_area_point(g, tris, u1, max_area_tris)
-        w_local = m.cosine_sample_hemisphere(u2)
+        # Two-sided lights emit from both faces (PBRT DiffuseAreaLight
+        # Sample_Le): remap u2.x to pick the hemisphere, halving pdf_dir —
+        # matching sample_li / le_area / power, which all honor two_sided.
+        two = g["two_sided"]
+        back = two & (u2[:, 0] < 0.5)
+        u2x = jnp.where(
+            two,
+            jnp.minimum(
+                jnp.where(back, u2[:, 0] * 2.0, (u2[:, 0] - 0.5) * 2.0),
+                1.0 - 1e-7,
+            ),
+            u2[:, 0],
+        )
+        w_local = m.cosine_sample_hemisphere(
+            jnp.stack([u2x, u2[:, 1]], axis=-1)
+        )
+        wz = jnp.where(back, -w_local[:, 2], w_local[:, 2])
         _, t1, t2 = m.coordinate_system(n_a)
-        d_a = w_local[:, 0:1] * t1 + w_local[:, 1:2] * t2 + w_local[:, 2:3] * n_a
+        d_a = w_local[:, 0:1] * t1 + w_local[:, 1:2] * t2 + wz[:, None] * n_a
         is_area = kind == AREA
         o = jnp.where(is_area[:, None], p_a, o)
         d = jnp.where(is_area[:, None], d_a, d)
@@ -343,7 +363,9 @@ def sample_le(lights: Lights, idx, u1, u2, time, tris=None, max_area_tris: int =
             is_area, 1.0 / jnp.maximum(g["total_area"], 1e-20), pdf_pos
         )
         pdf_dir = jnp.where(
-            is_area, jnp.abs(w_local[:, 2]) * m.INV_PI, pdf_dir
+            is_area,
+            jnp.abs(wz) * m.INV_PI * jnp.where(two, 0.5, 1.0),
+            pdf_dir,
         )
         le = jnp.where(is_area[:, None], g["i"], le)
 

@@ -115,8 +115,10 @@ class BilerpTexture(Texture):
 
     def __init__(self, mapping, v00, v01, v10, v11):
         self.mapping = mapping
+        # Host numpy, like ConstantTexture: a device-array attribute
+        # closed over by jit reads back d2h at trace time (relay poison).
         vs = [np.asarray(v, np.float32) for v in (v00, v01, v10, v11)]
-        self.v00, self.v01, self.v10, self.v11 = [jnp.asarray(v) for v in vs]
+        self.v00, self.v01, self.v10, self.v11 = vs
         self.is_spectral = vs[0].ndim > 0
 
     def __call__(self, hit):

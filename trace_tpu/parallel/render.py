@@ -68,6 +68,7 @@ def _sharded_step(scene, camera, mesh: Mesh, spp: int, max_depth: int,
                 state, p_film,
                 jnp.where(lane_valid[..., None], l, 0.0),
                 jnp.where(lane_valid, weight, 0.0),
+                valid=lane_valid,
             )
         return jax.tree.map(lambda x: jax.lax.psum(x, axis), state)
 
@@ -79,8 +80,10 @@ def render_sharded(scene, camera, mesh: Mesh, spp: int = 1, max_depth: int = 5,
     """Render the camera's full film, data-parallel over the mesh.
 
     Pixels are padded to a multiple of the mesh size and split evenly; the
-    per-device partial films are psum-reduced. Deterministic: lane -> pixel
-    assignment and PRNG keys are independent of the device count.
+    per-device partial films are psum-reduced. Deterministic for a FIXED
+    mesh size: lane -> pixel assignment is device-count independent, but
+    the per-device key fold (below) means a 1-chip and an 8-chip render
+    draw different (equally unbiased) sample streams.
     """
     film = camera.film
     (x0, y0), (x1, y1) = film.sample_bounds()

@@ -10,8 +10,17 @@ multi-chip replacement for the reference's atomics).
 
 The scene, grid and visible points are replicated (they are read-only
 within an iteration, matching the reference's shared-memory reads).
+
+The jitted shard_map bodies are cached per (integrator, scene, mesh,
+axis) — pair_pass_sharded runs once per super_chunk per iteration and the
+other two once per iteration, so a fresh ``jax.jit(closure)`` each call
+would re-trace and recompile every time (the same pitfall
+render.py:_sharded_step solves with lru_cache; Scene.__hash__ is
+version-aware, so mutations re-trace correctly).
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,26 +30,54 @@ from jax.sharding import Mesh, PartitionSpec as P
 F32 = jnp.float32
 
 
-def photon_walk_sharded(integ, scene, mesh: Mesh, axis: str,
-                        halton_idx, lane_valid, light_cdf, light_pmf,
-                        grid_lo, grid_res, grid_inv_extent, sorted_cells):
-    """Shard the photon walk over `axis`; returns the global splat dict
-    (sharded along photons)."""
-
+@functools.lru_cache(maxsize=64)
+def _photon_walk_jit(integ, scene, mesh: Mesh, axis: str):
     def body(idx, valid, cdf, pmf, lo, res, inv_ext, cells):
         return integ._photon_walk_body(
             scene, idx, valid, cdf, pmf, lo, res, inv_ext, cells
         )
 
-    f = jax.shard_map(
+    return jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P(), P(), P(), P(), P()),
         out_specs=P(axis),
-    )
-    return jax.jit(f)(
+    ))
+
+
+def photon_walk_sharded(integ, scene, mesh: Mesh, axis: str,
+                        halton_idx, lane_valid, light_cdf, light_pmf,
+                        grid_lo, grid_res, grid_inv_extent, sorted_cells):
+    """Shard the photon walk over `axis`; returns the global splat dict
+    (sharded along photons)."""
+    return _photon_walk_jit(integ, scene, mesh, axis)(
         halton_idx, lane_valid, light_cdf, light_pmf,
         grid_lo, grid_res, grid_inv_extent, sorted_cells,
     )
+
+
+@functools.lru_cache(maxsize=64)
+def _pair_jit(integ, mesh: Mesh, axis: str, n_local: int):
+    n_pixels = integ.n_pixels
+
+    def body(pair_base_arr, total_a, offsets_a, p_a, d_a, b_a, s_a,
+             vp_a, radius_a, sv_a):
+        base = pair_base_arr[0]
+        phi_l = jnp.zeros((n_pixels, 3), F32)
+        m_l = jnp.zeros((n_pixels,), jnp.int32)
+        phi_l, m_l = integ._pair_body(
+            phi_l, m_l, base, total_a, offsets_a,
+            p_a, d_a, b_a, s_a, vp_a, radius_a, sv_a, n_local,
+        )
+        return (
+            jax.lax.psum(phi_l, axis),
+            jax.lax.psum(m_l, axis),
+        )
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+    ))
 
 
 def pair_pass_sharded(integ, mesh: Mesh, axis: str,
@@ -51,33 +88,26 @@ def pair_pass_sharded(integ, mesh: Mesh, axis: str,
     """One sharded pair sweep: pair indices split over `axis` (one base
     per device, integ.pair_chunk pairs each), per-chip partial (phi, M)
     psum-reduced then added into the running accumulators."""
-
     n_local = super_chunk // mesh.devices.size
-
-    def body(pair_base_arr, total_a, offsets_a, p_a, d_a, b_a, s_a,
-             vp_a, radius_a, sv_a):
-        base = pair_base_arr[0]
-        phi_l = jnp.zeros_like(phi)
-        m_l = jnp.zeros_like(m_cnt)
-        phi_l, m_l = integ._pair_body(
-            phi_l, m_l, base, total_a, offsets_a,
-            p_a, d_a, b_a, s_a, vp_a, radius_a, sv_a, n_local,
-        )
-        return (
-            jax.lax.psum(phi_l, axis),
-            jax.lax.psum(m_l, axis),
-        )
-
-    f = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P()),
-    )
-    dphi, dm = jax.jit(f)(
+    dphi, dm = _pair_jit(integ, mesh, axis, n_local)(
         bases, total, offsets, sp_p, sp_d, sp_beta, sp_start,
         vp, radius, sorted_vp,
     )
     return phi + dphi, m_cnt + dm
+
+
+@functools.lru_cache(maxsize=64)
+def _camera_pass_jit(integ, scene, mesh: Mesh, axis: str):
+    def body(pix, valid, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        ld, vp = integ._camera_pass_body(scene, pix, valid, key)
+        return ld, vp
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+    ))
 
 
 def camera_pass_sharded(integ, scene, mesh: Mesh, axis: str,
@@ -85,15 +115,5 @@ def camera_pass_sharded(integ, scene, mesh: Mesh, axis: str,
     """Shard the SPPM camera pass over the mesh pixel axis. Keys fold in
     the device index, so the sample stream differs from (but is as
     unbiased as) the single-device pass."""
-
-    def body(pix, valid, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        ld, vp = integ._camera_pass_body(scene, pix, valid, key)
-        return ld, vp
-
-    f = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
-        out_specs=(P(axis), P(axis)),
-    )
-    return jax.jit(f)(pixels, lane_valid, it_key)
+    return _camera_pass_jit(integ, scene, mesh, axis)(
+        pixels, lane_valid, it_key)

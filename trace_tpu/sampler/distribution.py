@@ -33,16 +33,19 @@ class Distribution1D:
         Returns (index [same shape as u], pdf, u_remapped); index is 0-based.
         """
         # offset = last index with cdf[offset] <= u  (0-based into cdf)
+        # jnp.asarray on the host arrays: embeds as jit constants (free)
+        # and keeps traced-offset gathers legal under jit.
+        cdf, func = jnp.asarray(self.cdf), jnp.asarray(self.func)
         offset = jnp.clip(
-            jnp.searchsorted(self.cdf, u, side="right") - 1, 0, self.n - 1
+            jnp.searchsorted(cdf, u, side="right") - 1, 0, self.n - 1
         )
         pdf = jnp.where(
             self.func_int > 0,
-            self.func[offset] / (self.func_int * self.n),
+            func[offset] / (self.func_int * self.n),
             0.0,
         )
-        c0 = self.cdf[offset]
-        c1 = self.cdf[offset + 1]
+        c0 = cdf[offset]
+        c1 = cdf[offset + 1]
         u_remapped = (u - c0) / jnp.where(c1 > c0, c1 - c0, 1.0)
         return offset.astype(jnp.int32), pdf, u_remapped
 
@@ -50,14 +53,15 @@ class Distribution1D:
         """Continuous counterpart (PBRT SampleContinuous): returns
         (x in [0,1), pdf, index). The reference only uses the discrete
         variant; this completes the Distribution1D surface."""
+        cdf, func = jnp.asarray(self.cdf), jnp.asarray(self.func)
         offset = jnp.clip(
-            jnp.searchsorted(self.cdf, u, side="right") - 1, 0, self.n - 1
+            jnp.searchsorted(cdf, u, side="right") - 1, 0, self.n - 1
         )
-        c0 = self.cdf[offset]
-        c1 = self.cdf[offset + 1]
+        c0 = cdf[offset]
+        c1 = cdf[offset + 1]
         du = (u - c0) / jnp.where(c1 > c0, c1 - c0, 1.0)
         pdf = jnp.where(
-            self.func_int > 0, self.func[offset] / self.func_int, 0.0
+            self.func_int > 0, func[offset] / self.func_int, 0.0
         )
         x = (offset.astype(F32) + du) / self.n
         return x, pdf, offset.astype(jnp.int32)

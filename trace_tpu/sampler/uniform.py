@@ -19,11 +19,6 @@ class UniformSampler:
         self.samples_per_pixel = int(samples_per_pixel)
         self.seed = int(seed)
 
-    def key(self, *salt):
-        return jax.random.fold_in(
-            jax.random.key(self.seed), hash(salt) & 0x7FFFFFFF
-        )
-
 
 def get_1d(key, shape):
     return jax.random.uniform(key, shape, F32)

@@ -138,10 +138,16 @@ def transform_triangles(t: Triangles, transform) -> Triangles:
     tr = mat[:3, 3]
     pt = lambda v: m.mat3_apply(m33, v) + tr
     nrm = lambda n: m.mat3_apply_t(inv[:3, :3], n)
+    # A handedness-swapping transform (det < 0, e.g. a mirror) flips the
+    # cross(e1,e2) geometric normal, so re-establish pack_triangle_mesh's
+    # invariant (flip = reverse_orientation XOR swaps_handedness) by
+    # XOR-ing the determinant sign in.
+    swaps = jnp.linalg.det(m33) < 0
     return dataclasses.replace(
         t,
         v0=pt(t.v0), v1=pt(t.v1), v2=pt(t.v2),
         n0=nrm(t.n0), n1=nrm(t.n1), n2=nrm(t.n2),
+        flip_normal=t.flip_normal ^ swaps,
     )
 
 

@@ -198,7 +198,7 @@ def test_bsdf_sample_f_diffuse_pdf_matches_compute_pdf():
     lobes = _simple_lobes(n=1, kinds=(lb.LAMBERTIAN_REFLECTION,),
                           c0=[jnp.asarray([0.8, 0.8, 0.8])])
     wo = m.normalize(jnp.asarray([[0.1, -0.2, 0.97]]))
-    s = B.sample_f(lobes, wo, jnp.asarray([[0.31, 0.77, 0.45]]))
+    s = B.sample_f(lobes, wo, jnp.asarray([[0.31, 0.77]]))
     assert float(s.pdf[0]) > 0
     pdf2 = B.compute_pdf(lobes, wo, s.wi)
     assert float(s.pdf[0]) == pytest.approx(float(pdf2[0]), rel=1e-5)
@@ -216,10 +216,10 @@ def test_bsdf_sample_f_respects_type_flags():
         fr_kind=[jnp.int32(fr.FRESNEL_DIELECTRIC)],
     )
     wo = m.normalize(jnp.asarray([[0.0, 0.1, 0.99]]))
-    s = B.sample_f(lobes, wo, jnp.asarray([[0.5, 0.5, 0.5]]),
+    s = B.sample_f(lobes, wo, jnp.asarray([[0.5, 0.5]]),
                    flags=lb.BSDF_DIFFUSE | lb.BSDF_REFLECTION)
     assert float(s.pdf[0]) == 0.0
-    s2 = B.sample_f(lobes, wo, jnp.asarray([[0.01, 0.5, 0.5]]),
+    s2 = B.sample_f(lobes, wo, jnp.asarray([[0.01, 0.5]]),
                     flags=lb.BSDF_ALL)
     assert float(s2.pdf[0]) > 0.0
     assert int(s2.sampled_flags[0]) & lb.BSDF_SPECULAR

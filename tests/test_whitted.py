@@ -172,3 +172,68 @@ def test_sppm_requires_lights():
     cam = build_camera(resolution=8, filename="/tmp/_nl.png")
     with pytest.raises(ValueError, match="light"):
         SPPMIntegrator(cam, n_iterations=1).render(scene)
+
+
+@pytest.mark.parametrize("entering", [True, False])
+def test_transmit_differentials_match_finite_difference(entering):
+    """rx/ry_direction must approximate the refracted direction of the
+    one-pixel-offset rays (PBRT-errata SpecularTransmit). Flat interface,
+    constant normals -> the differential is exactly the refract() of the
+    offset ray to first order. Guards the eta-inversion/sign fix (the
+    reference's exit branch is dead code: sampler.jl:181 tests
+    (ns . ns) < 0, never true)."""
+    import dataclasses
+
+    from trace_tpu.core import math as m
+    from trace_tpu.core.interaction import empty_hit
+    from trace_tpu.integrators import common
+
+    eta_int = 1.5
+    eps = 1e-3
+    sz = -1.0 if entering else 1.0
+    d = np.array([0.3, -0.2, sz], np.float32)
+    d /= np.linalg.norm(d)
+    dx = d + np.array([eps, 0.0, 0.0], np.float32)
+    dy = d + np.array([0.0, eps, 0.0], np.float32)
+    dx /= np.linalg.norm(dx)
+    dy /= np.linalg.norm(dy)
+    ns = np.array([0.0, 0.0, 1.0], np.float32)
+    ns_f = ns if entering else -ns        # face-forward toward wo
+    eta_rel = 1.0 / eta_int if entering else eta_int
+
+    def refracted(dd):
+        ok, wt = m.refract(jnp.asarray(-dd)[None], jnp.asarray(ns_f)[None],
+                           jnp.asarray([eta_rel], jnp.float32))
+        assert bool(ok[0])
+        return np.asarray(wt[0])
+
+    wi = refracted(d)
+    z3 = jnp.zeros((1, 3), jnp.float32)
+    hit = dataclasses.replace(
+        empty_hit((1,)),
+        valid=jnp.ones(1, bool),
+        p=z3,
+        wo=jnp.asarray(-d)[None],
+        n=jnp.asarray(ns)[None],
+        ns=jnp.asarray(ns)[None],
+    )
+    rd = RayDifferentials(
+        o=z3, d=jnp.asarray(d)[None], t_max=jnp.ones(1), time=jnp.zeros(1),
+        has_differentials=jnp.ones(1, bool),
+        rx_origin=z3, ry_origin=z3,
+        rx_direction=jnp.asarray(dx)[None],
+        ry_direction=jnp.asarray(dy)[None],
+    )
+
+    class _L:
+        eta = jnp.asarray([eta_int], jnp.float32)
+
+    _, _, rx_d, ry_d = common.transmit_differentials(
+        rd, hit, _L(), jnp.asarray(wi)[None]
+    )
+    rx_d, ry_d = np.asarray(rx_d[0]), np.asarray(ry_d[0])
+    # First-order approximation of the offset refraction directions.
+    np.testing.assert_allclose(rx_d, refracted(dx), atol=5e-4)
+    np.testing.assert_allclose(ry_d, refracted(dy), atol=5e-4)
+    # And the differential is genuinely different from wi (non-degenerate).
+    assert np.linalg.norm(rx_d - wi) > 1e-4

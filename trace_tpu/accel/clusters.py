@@ -30,6 +30,7 @@ from ..utils.pytree import pytree
 from ..shapes import sphere as sph_mod
 from ..shapes import triangle as tri_mod
 from .bvh import LinearBVH, build_bvh
+from . import mxu as mxu_mod
 
 F32 = jnp.float32
 
@@ -368,16 +369,8 @@ def _test_stage_mt(accel: ClusterAccel, stage, h, perm, o, d, m, limit):
     u_det = mm(m, e2_m) - mm(d, w_m)
     v_det = -mm(m, e1_m) - mm(d, q_m)
     t_det = mm(o, n_m) - v0n[None, :]
-    sign = jnp.where(det < 0.0, -1.0, 1.0)
-    adet = det * sign
-    u = u_det * sign
-    v = v_det * sign
-    tn = t_det * sign
-    t = tn / jnp.where(adet > 1e-12, adet, 1.0)
-    hit = (
-        (adet > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= adet)
-        & (tn > 0.0) & (t < limit[:, None]) & (tid[None, :] >= 0)
-    )
+    ok, t = mxu_mod.mt_epilogue(det, u_det, v_det, t_det)
+    hit = ok & (t < limit[:, None]) & (tid[None, :] >= 0)
     t = jnp.where(hit, t, jnp.inf)
     j = jnp.argmin(t, axis=-1)
     best_t = jnp.min(t, axis=-1)  # == t[j], no gather

@@ -75,6 +75,26 @@ def _mm(a, b):
     )
 
 
+def mt_epilogue(det, u_det, v_det, t_det, eps=1e-12):
+    """Sign-folded Moller-Trumbore validity + t from the four determinant
+    panels. THE canonical epilogue for every matmul-factored intersector
+    (this module, accel/clusters._test_stage_mt, ops/sweep_pallas,
+    ops/intersect_pallas — all call it; elementwise jnp only, so it works
+    inside Pallas kernels too). Returns (ok, t): ok covers the
+    orientation-independent det/barycentric/positivity tests; callers AND
+    in their own t-boundary convention (t <= t_max for the brute-force
+    grid, strict t < limit in the running-minimum sweeps) and id masks.
+    """
+    sign = jnp.where(det < 0.0, -1.0, 1.0)
+    adet = det * sign
+    u = u_det * sign
+    v = v_det * sign
+    tn = t_det * sign
+    t = tn / jnp.where(adet > eps, adet, 1.0)
+    ok = (adet > eps) & (u >= 0.0) & (v >= 0.0) & (u + v <= adet) & (tn > 0.0)
+    return ok, t
+
+
 def intersect_grid(consts: TriMatmulConsts, o, d, t_max):
     """All-pairs Moller-Trumbore over [R rays x T tris] via 6 matmuls.
 
@@ -86,19 +106,8 @@ def intersect_grid(consts: TriMatmulConsts, o, d, t_max):
     v_det = -_mm(m, consts.e1) - _mm(d, consts.q)
     t_det = _mm(o, consts.n) - consts.v0n[None, :]
 
-    sign = jnp.where(det < 0.0, -1.0, 1.0)
-    adet = det * sign
-    u = u_det * sign
-    v = v_det * sign
-    tn = t_det * sign
-    hit = (
-        (adet > 1e-12)
-        & (u >= 0.0) & (v >= 0.0) & (u + v <= adet)
-        & (tn > 0.0)
-        & ~consts.degenerate[None, :]
-    )
-    t = tn / jnp.where(adet > 1e-12, adet, 1.0)
-    hit = hit & (t <= t_max[:, None])
+    ok, t = mt_epilogue(det, u_det, v_det, t_det)
+    hit = ok & ~consts.degenerate[None, :] & (t <= t_max[:, None])
     return hit, t
 
 

@@ -185,8 +185,9 @@ def sample_f(
     reference's pdf-averaging / f-summing across matching non-specular
     lobes (bsdf.jl:107-175).
 
-    u: [N, 3] — u[:,0] picks the lobe (and is remapped for reuse inside the
-    chosen lobe); u[:,1:3] drive the lobe's own 2D sample.
+    u: [N, 2] — u[:,0] picks the lobe and is remapped (bsdf.jl:119) as the
+    chosen lobe's first 2D-sample coordinate; u[:,1] is the second
+    (PBRT BSDF::Sample_f's 2D u).
     """
     n = wo_w.shape[0]
     match = _matching(lobes, flags)                        # [N, L]

@@ -128,6 +128,28 @@ def look_at(position, target, up) -> Transform:
     return compose(translate(position), Transform(rot, rot.T.copy()))
 
 
+def dir_to_z(d) -> Transform:
+    """World-to-local frame that maps direction ``d`` onto +z — the spot
+    light aiming frame the reference scenes build inline
+    (caustic_glass.jl:49-66: coordinate_system rows stacked into a
+    matrix). Host numpy (device round-trips mid scene-build poison the
+    relay); the branch mirrors core/math.py:coordinate_system."""
+    d = np.asarray(d, np.float32)
+    d = d / np.linalg.norm(d)
+    if abs(d[0]) > abs(d[1]):
+        du = np.array([-d[2], 0.0, d[0]], np.float32)
+        du /= np.sqrt(d[0] * d[0] + d[2] * d[2])
+    else:
+        du = np.array([0.0, d[2], -d[1]], np.float32)
+        du /= np.sqrt(d[1] * d[1] + d[2] * d[2])
+    dv = np.cross(d, du)
+    mat = np.eye(4, dtype=np.float32)
+    mat[0, :3] = du
+    mat[1, :3] = dv
+    mat[2, :3] = d
+    return from_matrix(mat)
+
+
 def perspective(fov: float, near: float, far: float) -> Transform:
     """Perspective projection (reference transformations.jl:119-130).
 

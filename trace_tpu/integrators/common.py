@@ -24,6 +24,20 @@ from ..lights import lights as light_mod
 F32 = jnp.float32
 
 
+def offset_ray_origin(p, d, n_geom):
+    """Scale-aware spawn offset for occlusion-type rays: SPAWN_EPS along
+    the direction plus a |p|-proportional nudge along the geometric
+    normal, signed toward the ray side (the pattern scene.unoccluded
+    uses for shadow rays; direction-only offsets self-occlude ~0.4% of
+    on-surface f32 points)."""
+    from ..core.ray import SPAWN_EPS
+
+    o = p + SPAWN_EPS * d
+    scale = 1e-4 * jnp.maximum(1.0, jnp.max(jnp.abs(p), axis=-1, keepdims=True))
+    side = jnp.sign(jnp.sum(n_geom * d, axis=-1, keepdims=True))
+    return o + n_geom * (scale * side)
+
+
 def sum_over_lights(scene, hit, lobes, key, flags=lb.BSDF_ALL & ~lb.BSDF_SPECULAR):
     """Whitted's direct-lighting loop (sampler.jl:85-94): for every light,
     sample_li, evaluate the BSDF, shadow-test, accumulate
@@ -88,14 +102,24 @@ def estimate_direct(scene, hit, lobes, light_idx, u_light, u_scatter,
         spec_sample = (bs.sampled_flags & lb.BSDF_SPECULAR) != 0
         f_b = bs.f * jnp.abs(m.dot(bs.wi, hit.ns))[..., None]
         go = hit.valid & ~delta & (bs.pdf > 0) & ~spec.is_black(f_b)
-        # Trace toward the light; does it hit one of this light's triangles?
-        o = hit.p + 1e-4 * bs.wi
+        # Trace toward the light; does it hit one of this light's
+        # triangles? Same scale-aware normal nudge as scene.unoccluded's
+        # shadow rays: a direction-only offset leaves ~0.4% of on-surface
+        # points deterministically self-occluded at f32, silently dropping
+        # this MIS leg (energy loss in glossy highlights).
+        o = offset_ray_origin(hit.p, bs.wi, hit.n)
         hit2 = scene.intersect(o, bs.wi, jnp.full((n,), jnp.inf, F32))
         tri_idx = jnp.clip(hit2.prim_id - scene.n_spheres, 0,
                            max(scene.n_triangles - 1, 0))
+        # Only FLAT triangles can be area lights; instanced prim ids start
+        # at n_spheres + n_triangles (scene.py id layout) and must not
+        # clip onto the last flat triangle's light id.
+        is_flat_tri = (hit2.prim_id >= scene.n_spheres) & (
+            hit2.prim_id < scene.n_spheres + scene.n_triangles
+        )
         hits_light = (
             hit2.valid
-            & (hit2.prim_id >= scene.n_spheres)
+            & is_flat_tri
             & (jnp.asarray(scene.tri_light_id)[tri_idx] == light_idx)
         )
         cos_l = m.dot(hit2.n, -bs.wi)
@@ -133,7 +157,7 @@ def uniform_sample_one_light(scene, hit, lobes, key, light_cdf=None):
         prev = jnp.concatenate([jnp.zeros(1, F32), light_cdf[:-1]])
         pmf = (light_cdf - prev)[idx]
     u_light = jax.random.uniform(k2, (n, 2), F32)
-    u_scatter = jax.random.uniform(k3, (n, 3), F32)
+    u_scatter = jax.random.uniform(k3, (n, 2), F32)
     ld = estimate_direct(scene, hit, lobes, idx, u_light, u_scatter)
     return ld / jnp.maximum(pmf, 1e-12)[..., None]
 
@@ -181,34 +205,43 @@ def reflect_differentials(rd: RayDifferentials, hit, wi) -> tuple:
 
 
 def transmit_differentials(rd: RayDifferentials, hit, lobes, wi) -> tuple:
-    """Transmitted-ray differentials (sampler.jl:160-199)."""
+    """Transmitted-ray differentials (sampler.jl:160-199, PBRT-errata form).
+
+    lobes.eta is the INTERIOR IOR (like bsdf.η): the relative IOR is
+    1/eta when entering (wo on the normal side) and eta when exiting,
+    with ns and its derivatives negated so wo·ns > 0. Verified against
+    finite-differenced refract() directions. The reference's exit branch
+    is dead code — its condition is ``(ns ⋅ ns) < 0`` (sampler.jl:181),
+    never true — a latent bug fixed here like ray.jl's ry_direction
+    (no reference scene textures glass, so it is image-invisible there).
+    """
     wo = hit.wo
     ns = hit.ns
-    flip = m.dot(wo, ns) < 0
-    ns_f = jnp.where(flip[..., None], -ns, ns)
     dndx, dndy = _dndxy(hit)
-    dndx = jnp.where(flip[..., None], -dndx, dndx)
-    dndy = jnp.where(flip[..., None], -dndy, dndy)
+    exiting = m.dot(wo, ns) < 0
+    ns = jnp.where(exiting[..., None], -ns, ns)
+    dndx = jnp.where(exiting[..., None], -dndx, dndx)
+    dndy = jnp.where(exiting[..., None], -dndy, dndy)
+    eta_int = jnp.maximum(lobes.eta, 1e-6)
+    eta = jnp.where(exiting, eta_int, 1.0 / eta_int)
 
-    eta = jnp.where(flip, 1.0 / jnp.maximum(lobes.eta, 1e-6), lobes.eta)
     rx_o = hit.p + hit.dpdx
     ry_o = hit.p + hit.dpdy
     dwodx = -rd.rx_direction - wo
     dwody = -rd.ry_direction - wo
-    ddndx = m.dot(dwodx, ns_f) + m.dot(wo, dndx)
-    ddndy = m.dot(dwody, ns_f) + m.dot(wo, dndy)
-    mu = eta * m.dot(wo, ns_f) - m.dot(wi, ns_f)
-    won = m.dot(wo, ns_f)
-    win = jnp.where(
-        jnp.abs(m.dot(wi, ns_f)) < 1e-9, 1e-9, m.dot(wi, ns_f)
+    ddndx = m.dot(dwodx, ns) + m.dot(wo, dndx)
+    ddndy = m.dot(dwody, ns) + m.dot(wo, dndy)
+    won = m.dot(wo, ns)
+    win = jnp.maximum(jnp.abs(m.dot(wi, ns)), 1e-9)
+    mu = eta * won - win
+    nu = eta - eta * eta * won / win
+    dmudx = nu * ddndx
+    dmudy = nu * ddndy
+    rx_d = wi - eta[..., None] * dwodx + (
+        mu[..., None] * dndx + dmudx[..., None] * ns
     )
-    dmudx = (eta - eta * eta * won / win) * ddndx
-    dmudy = (eta - eta * eta * won / win) * ddndy
-    rx_d = wi + eta[..., None] * dwodx - (
-        mu[..., None] * dndx + dmudx[..., None] * ns_f
-    )
-    ry_d = wi + eta[..., None] * dwody - (
-        mu[..., None] * dndy + dmudy[..., None] * ns_f
+    ry_d = wi - eta[..., None] * dwody + (
+        mu[..., None] * dndy + dmudy[..., None] * ns
     )
     return rx_o, ry_o, rx_d, ry_d
 

@@ -54,7 +54,7 @@ def li(scene, rd, key, max_depth: int = 5, rr_depth: int = 3):
         l_out = l_out + jnp.where(live[:, None], beta * ld, 0.0)
 
         # Continue the path.
-        u = jax.random.uniform(jax.random.fold_in(k, 1), (n, 3), F32)
+        u = jax.random.uniform(jax.random.fold_in(k, 1), (n, 2), F32)
         bs = B.sample_f(lobes, hit.wo, u, lb.BSDF_ALL)
         ok = live & (bs.pdf > 0) & ~spec.is_black(bs.f)
         specular_bounce = jnp.where(

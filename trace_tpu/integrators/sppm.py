@@ -284,7 +284,7 @@ class SPPMIntegrator:
             active = live & ~make_vp
 
             # Continue the path (sppm.jl:248-268).
-            u = jax.random.uniform(jax.random.fold_in(k_depth, 1), (c, 3), F32)
+            u = jax.random.uniform(jax.random.fold_in(k_depth, 1), (c, 2), F32)
             bs = B.sample_f(lobes, hit.wo, u, lb.BSDF_ALL)
             ok = active & (bs.pdf > 0) & ~spec.is_black(bs.f)
             specular_bounce = jnp.where(
@@ -528,7 +528,7 @@ class SPPMIntegrator:
                 mode=lb.IMPORTANCE,
             )
             dim = 6 + 3 * (depth - 1)
-            u_bsdf = jnp.stack([ri(dim), ri(dim + 1), ri(dim + 1)], axis=-1)
+            u_bsdf = jnp.stack([ri(dim), ri(dim + 1)], axis=-1)
             bs = B.sample_f(lobes, -d, u_bsdf, lb.BSDF_ALL, mode=lb.IMPORTANCE)
             ok2 = live & (bs.pdf > 0) & ~spec.is_black(bs.f)
             beta_new = beta * bs.f * (

@@ -32,7 +32,7 @@ def _sample_specular(scene, hit, lobes, rd, valid, key, flags):
     SPECULAR|REFLECTION or |TRANSMISSION, child beta factor, spawned child
     ray with propagated differentials."""
     n = hit.t.shape[0]
-    u = jax.random.uniform(key, (n, 3), F32)
+    u = jax.random.uniform(key, (n, 2), F32)
     bs = B.sample_f(lobes, hit.wo, u, flags)
     cos_i = m.dot(bs.wi, hit.ns)
     ok = (

@@ -23,25 +23,12 @@ SHIFTS = np.arange(0.0, 5.0 + 1e-6, 0.1, dtype=np.float32)
 
 
 def _spot_l2w(frm):
+    """Spot light-to-world: aim from ``frm`` toward the caustic target,
+    then apply the scene shift (caustic_moving.jl:60-71)."""
     to = np.array([-5.0, 0.0, 5.0], np.float32)
-    d = to - frm
-    d = d / np.linalg.norm(d)
-    # Host-side coordinate_system (core/math.py:89 semantics): building
-    # this on device and reading it back would d2h mid scene-build.
-    if abs(d[0]) > abs(d[1]):
-        du = np.array([-d[2], 0.0, d[0]], np.float32)
-        du /= np.sqrt(d[0] * d[0] + d[2] * d[2])
-    else:
-        du = np.array([0.0, d[2], -d[1]], np.float32)
-        du /= np.sqrt(d[1] * d[1] + d[2] * d[2])
-    dv = np.cross(d, du)
-    dir_to_z = np.eye(4, dtype=np.float32)
-    dir_to_z[0, :3] = du
-    dir_to_z[1, :3] = dv
-    dir_to_z[2, :3] = d
     return T.compose(
         T.compose(T.translate([4.5, 0.0, -101.0]), T.translate(frm)),
-        T.inverse(T.from_matrix(dir_to_z)),
+        T.inverse(T.dir_to_z(to - frm)),
     )
 
 

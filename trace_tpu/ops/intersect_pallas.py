@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..accel.mxu import mt_epilogue
+
 F32 = jnp.float32
 RAY_BLOCK = 1024
 TRI_BLOCK = 128
@@ -108,16 +110,8 @@ def _kernel(a_ref, b_ref, tmax_ref, bt_ref, bi_ref):
     t_d = o[:, 3 * TRI_BLOCK:4 * TRI_BLOCK]
     tid = o[:, 4 * TRI_BLOCK:5 * TRI_BLOCK]
 
-    sign = jnp.where(det < 0.0, -1.0, 1.0)
-    adet = det * sign
-    u = u_d * sign
-    v = v_d * sign
-    tn = t_d * sign
-    t = tn / jnp.where(adet > 1e-12, adet, 1.0)
-    valid = (
-        (adet > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= adet)
-        & (tn > 0.0) & (t < tmax_ref[:]) & (tid >= 0.0)
-    )
+    core_ok, t = mt_epilogue(det, u_d, v_d, t_d)
+    valid = core_ok & (t < tmax_ref[:]) & (tid >= 0.0)
     t = jnp.where(valid, t, jnp.inf)
     row_min = jnp.min(t, axis=1, keepdims=True)            # [1024, 1]
     row_id = jnp.min(

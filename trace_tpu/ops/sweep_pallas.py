@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..shapes import sphere as sph_mod
+from ..accel.mxu import mt_epilogue
 from ..accel.clusters import ClusterAccel, build_clusters, _entry_boxes, \
     _sort_key
 
@@ -135,17 +136,9 @@ def _sweep_kernel(any_hit, n_supers,
         u_det = mm(m_m, e2_p) - mm(d_m, w_p)
         v_det = -mm(m_m, e1_p) - mm(d_m, q_p)
         t_det = mm(o_m, n_p) - v0n
-        sign = jnp.where(det < 0.0, -1.0, 1.0)
-        adet = det * sign
-        u = u_det * sign
-        v = v_det * sign
-        tn = t_det * sign
-        t = tn / jnp.where(adet > 1e-12, adet, 1.0)
+        core_ok, t = mt_epilogue(det, u_det, v_det, t_det)
         limit = jnp.minimum(best_t, t_lim)[:, None]   # [B, 1]
-        ok = (
-            (adet > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= adet)
-            & (tn > 0.0) & (t < limit) & (tid >= 0)
-        )
+        ok = core_ok & (t < limit) & (tid >= 0)
         t = jnp.where(ok, t, jnp.inf)
         tmin = jnp.min(t, axis=1)                     # [B]
         # Gather-free id select: min id among slots equal to the min.

@@ -231,6 +231,13 @@ def test_film_out_of_crop_splats_dropped():
     assert s[3, 3].sum() > 0
     assert s[3, 0].sum() == 0.0 and s[3, 7].sum() == 0.0
     assert float(s.sum()) == pytest.approx(float(s[3, 3].sum()))
+    # Non-finite radiance on a DROPPED lane must not leak NaN into the
+    # clamped in-crop index (where-select, not mask-multiply).
+    bad = film.add_splats(
+        state, jnp.array([[-3.0, 4.0]], jnp.float32),
+        jnp.full((1, 3), jnp.inf, jnp.float32),
+    )
+    assert np.isfinite(np.asarray(bad.splat_xyz)).all()
 
 
 def test_distribution1d_under_jit():

@@ -147,7 +147,9 @@ def dir_to_z(d) -> Transform:
     mat[0, :3] = du
     mat[1, :3] = dv
     mat[2, :3] = d
-    return from_matrix(mat)
+    # Rows are orthonormal: the inverse is exactly the transpose (same
+    # form as look_at/_rot; avoids an f32 np.linalg.inv round-off).
+    return Transform(mat, mat.T.copy())
 
 
 def perspective(fov: float, near: float, far: float) -> Transform:

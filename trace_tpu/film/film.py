@@ -202,7 +202,9 @@ class Film:
         flat = jnp.clip(iy, 0, self.height - 1) * self.width + jnp.clip(
             ix, 0, self.width - 1
         )
-        xyz = spec.rgb_to_xyz(L_rgb) * inb[:, None]
+        # where (not multiply): a non-finite L on a dropped lane would
+        # propagate NaN through *0 into the clamped in-crop index.
+        xyz = jnp.where(inb[:, None], spec.rgb_to_xyz(L_rgb), 0.0)
         new_splat = (
             state.splat_xyz.reshape(-1, 3).at[flat].add(xyz).reshape(state.splat_xyz.shape)
         )

@@ -240,3 +240,65 @@ def test_instanced_geometry_in_sppm():
     img = np.asarray(integ.to_image(st, 2))
     assert np.isfinite(img).all()
     assert img.max() > 0.0  # instanced surfaces receive light
+
+
+def test_bsdf_mis_leg_ignores_instanced_hits():
+    """estimate_direct's BSDF-sampling leg must not attribute a hit on
+    INSTANCED geometry to an area light: instanced prim ids (>= n_spheres
+    + n_triangles) used to clip onto the last flat triangle — here the
+    light panel — adding emitted radiance for an opaque blocker (light
+    leak). Oracle: the identical scene with the instance baked flat."""
+    from trace_tpu.integrators import common
+    from trace_tpu.materials.materials import compute_scattering
+
+    def build(baked: bool):
+        b = SceneBuilder()
+        matte = b.material(MatteMaterial())
+        floor_v = np.array(
+            [[-10, 0, -10], [10, 0, -10], [10, 0, 10], [-10, 0, 10]],
+            np.float32,
+        )
+        quad = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+        b.triangle_mesh(T.identity(), quad, floor_v, matte)
+        # Big plate 1 above the floor, off-center so plenty of cosine
+        # rays from the origin hit it.
+        plate_v = np.array(
+            [[0.2, 1.0, -3.0], [3.0, 1.0, -3.0], [3.0, 1.0, 3.0],
+             [0.2, 1.0, 3.0]], np.float32,
+        )
+        if baked:
+            b.triangle_mesh(T.identity(), quad, plate_v, matte)
+        # Area light panel LAST in the flat table (its tri_light_id slots
+        # are the final flat entries the bug clipped onto).
+        light_v = np.array(
+            [[-2, 6, -2], [2, 6, -2], [2, 6, 2], [-2, 6, 2]], np.float32
+        )
+        b.triangle_mesh(T.identity(), quad, light_v, matte,
+                        emission=(8.0, 8.0, 8.0))
+        if not baked:
+            b.instanced_mesh(quad, plate_v, [T.identity(), T.translate([7.0, 0.0, 0.0])], matte)
+        return b.build()
+
+    s_inst = build(baked=False)
+    s_flat = build(baked=True)
+    assert s_inst.instanced and not s_flat.instanced
+
+    n = 256
+    # Shade points on the floor around the origin.
+    px = np.linspace(-0.5, 0.5, n, dtype=np.float32)
+    o = jnp.stack([jnp.asarray(px), jnp.full(n, 3.0), jnp.zeros(n)], -1)
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], F32), (n, 1))
+    hit = s_inst.intersect(o, d, jnp.full(n, jnp.inf, F32))
+    assert bool(hit.valid.all())
+    lobes = compute_scattering(s_inst.materials, hit)
+
+    key = jax.random.key(5)
+    u_l = jax.random.uniform(jax.random.fold_in(key, 0), (n, 2), F32)
+    u_s = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2), F32)
+    idx = jnp.zeros(n, jnp.int32)
+    ld_i = np.asarray(common.estimate_direct(s_inst, hit, lobes, idx, u_l, u_s))
+    ld_f = np.asarray(common.estimate_direct(s_flat, hit, lobes, idx, u_l, u_s))
+    assert np.isfinite(ld_i).all()
+    # Identical geometry, identical samples -> identical estimate. The
+    # clip bug inflates ld_i on every lane whose BSDF ray hits the plate.
+    np.testing.assert_allclose(ld_i, ld_f, atol=1e-5)

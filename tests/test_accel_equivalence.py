@@ -249,3 +249,23 @@ def test_native_cluster_pack_matches_numpy():
     for a, b in zip(native_pack, py_pack):
         assert a.shape == b.shape
         np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_entry_culling_is_exact():
+    """entry_bf16 truncates the entry table onto the bf16 grid (a LOWER
+    bound), so the sweep must return BIT-IDENTICAL hits/t/ids to the f32
+    entry path — the early-out only ever loosens. Covers both the flat
+    and the two-level (super_size > 1) tables."""
+    tris = _soup(400, seed=7)
+    o, d = _rays(512, seed=9)
+    t_max = jnp.full(512, jnp.inf)
+    for super_size in (1, 8):
+        acc = CL.build_clusters(tris, leaf_tris=16, super_size=super_size)
+        h0, t0, i0 = CL.traverse(acc, o, d, t_max, 8, False, entry_bf16=False)
+        h1, t1, i1 = CL.traverse(acc, o, d, t_max, 8, False, entry_bf16=True)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        # and against brute force
+        bh, bt, bi = _brute(tris, o, d, t_max)
+        np.testing.assert_array_equal(np.asarray(h1), bh)

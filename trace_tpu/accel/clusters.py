@@ -318,6 +318,21 @@ def _cluster_entry(accel: ClusterAccel, o, d, t_max):
     return _entry_boxes(accel.c_lo, accel.c_hi, o, d, t_max)
 
 
+def _bf16_floor(x):
+    """Truncate f32 onto the bf16 grid: bit-mask the low 16 mantissa bits
+    (round toward zero == round DOWN for the non-negative entry
+    distances; +inf maps to +inf). A truncated entry stays a valid LOWER
+    bound on the true slab entry, so the demand order stays identical
+    (finiteness is preserved exactly) and the suffix-min early-out stays
+    exactly conservative — hits are never dropped, a lane at worst sweeps
+    one extra stage — while the [N, C] table, its permuted copy and the
+    suffix scan move half the HBM bytes (the entry tier of the ARCH §7
+    "bf16 cluster-entry culling" item; the hit test itself stays f32)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    f = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    return f.astype(jnp.bfloat16)
+
+
 def _test_stage(accel: ClusterAccel, stage, h, perm, o, d, limit):
     """Test one stage (h clusters = h*L triangles) densely against ALL
     rays as a single fat [N, h*L] op.
@@ -379,7 +394,8 @@ def _test_stage_mt(accel: ClusterAccel, stage, h, perm, o, d, m, limit):
 
 
 def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
-             any_hit: bool = False, use_mxu: bool = True):
+             any_hit: bool = False, use_mxu: bool = True,
+             entry_bf16: bool = True):
     """Closest-hit (or any-hit) via a dense demand-ordered cluster sweep.
 
     Clusters are ordered once by how many rays enter their AABB; stages of
@@ -407,6 +423,8 @@ def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
         h = max(g, (min(stage_clusters, c) // g) * g)
         h_s = h // g
         entry = _entry_boxes(accel.s_lo, accel.s_hi, o, d, t_max)  # [N, S]
+        if entry_bf16:
+            entry = _bf16_floor(entry)
         s_count = entry.shape[1]
         demand = jnp.sum(jnp.isfinite(entry), axis=0)
         perm_s = jnp.argsort(-demand).astype(jnp.int32)            # [S]
@@ -427,6 +445,8 @@ def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
     else:
         h = min(stage_clusters, c)
         entry = _cluster_entry(accel, o, d, t_max)           # [N, C]
+        if entry_bf16:
+            entry = _bf16_floor(entry)
 
         # Global demand order (one small sort) + per-lane suffix minima.
         demand = jnp.sum(jnp.isfinite(entry), axis=0)

@@ -88,3 +88,13 @@ def build_camera(resolution: int = 256, filename: str = "caustics.png",
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
         film=film, convention=convention,
     )
+
+
+if __name__ == "__main__":
+    from ._run import sppm_main
+
+    # Flagship caustic: SPPM, r0 = 0.075, ray depth 8, 100 iterations
+    # (caustic_glass.jl:75-95, README.md:26-36).
+    sppm_main(__doc__, build_scene, build_camera, resolution=1024,
+              iterations=100, radius=0.075, depth=8,
+              output="caustics.png")

@@ -156,3 +156,21 @@ def render_animation(
         film = camera.film
         for path, img in pending:
             film.save_png(film.set_image(img), path)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--resolution", type=int, default=256)
+    ap.add_argument("--iterations", type=int, default=25)
+    ap.add_argument("--frames", type=int, default=len(SHIFTS))
+    ap.add_argument("--photons", type=int, default=1_250_000)
+    a = ap.parse_args()
+    # Reference animation: 25 iters/frame, depth 5, 1.25M photons/iter
+    # (caustic_moving.jl:49-100).
+    for i, _state in render_animation(
+        resolution=a.resolution, frames=SHIFTS[: a.frames],
+        iterations=a.iterations, photons_per_iteration=a.photons,
+    ):
+        print(f"frame {i}/{a.frames}")

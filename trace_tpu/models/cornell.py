@@ -72,3 +72,12 @@ def build_camera(resolution: int = 512, filename: str = "cornell.png",
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
         film=film, convention=convention,
     )
+
+
+if __name__ == "__main__":
+    from ._run import path_main
+
+    # Capability beyond the reference (BASELINE config 2): path tracing
+    # with an area light and MIS.
+    path_main(__doc__, build_scene, build_camera, resolution=512, spp=4,
+              depth=5, output="cornell.png")

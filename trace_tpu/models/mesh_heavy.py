@@ -68,3 +68,11 @@ def build_camera(resolution: int = 512, filename: str = "terrain.png",
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
         film=film, convention=convention,
     )
+
+
+if __name__ == "__main__":
+    from ._run import whitted_main
+
+    # BASELINE config 4: 1M-triangle traversal throughput scene.
+    whitted_main(__doc__, build_scene, build_camera, resolution=512,
+                 spp=4, depth=2, output="terrain.png")

@@ -87,3 +87,13 @@ def render(resolution: int = 1024 // 3, iterations: int = 10,
     camera.film.save_png(
         camera.film.set_image(integ.to_image(state, iterations)), filename)
     return state
+
+
+if __name__ == "__main__":
+    from ._run import sppm_main
+
+    # Docs shadow example: SPPM 1024//3 squared, 10 iterations
+    # (docs/src/shadows.md:93-106).
+    sppm_main(__doc__, build_scene, build_camera, resolution=1024 // 3,
+              iterations=10, radius=0.025, depth=5,
+              output="sphere-sppm.png")

@@ -76,3 +76,12 @@ def build_camera(resolution: int = 1024, filename: str = "shadows.png",
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
         film=film, convention=convention,
     )
+
+
+if __name__ == "__main__":
+    from ._run import sppm_main
+
+    # Reference hero config: SPPM 1024^2, r0 = 0.025, depth 5, 100
+    # iterations (spheres.jl:88-102, README.md:9-11).
+    sppm_main(__doc__, build_scene, build_camera, resolution=1024,
+              iterations=100, radius=0.025, depth=5, output="shadows.png")

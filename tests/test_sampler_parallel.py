@@ -63,6 +63,14 @@ def test_render_sharded_8_devices():
     # Deterministic for a fixed mesh.
     state2 = render_sharded(scene, cam, mesh, spp=1, max_depth=2, seed=5)
     np.testing.assert_array_equal(img, np.asarray(cam.film.to_image(state2)))
+    # Pixel-identity-keyed streams: the 8-device render draws the EXACT
+    # single-chip samples; only f32 film accumulation order differs.
+    from trace_tpu.integrators.whitted import WhittedIntegrator
+    from trace_tpu.sampler.uniform import UniformSampler
+
+    integ = WhittedIntegrator(cam, UniformSampler(1, seed=5), max_depth=2)
+    img1 = np.asarray(cam.film.to_image(integ.render(scene)))
+    np.testing.assert_allclose(img, img1, atol=2e-6)
 
 
 def test_sppm_photon_sharding_bit_exact():
@@ -103,6 +111,53 @@ def test_sppm_full_spmd_runs():
     st = integ.render(scene)
     img = np.asarray(integ.to_image(st, 1))
     assert np.isfinite(img).all() and img.max() > 0.0
+    # Full SPMD (camera + photon + pair) now matches the single-device
+    # run: camera streams are pixel-identity-keyed, photons Halton-keyed.
+    st1 = SPPMIntegrator(
+        cam, initial_search_radius=0.2, max_depth=2, n_iterations=1,
+        photons_per_iteration=1024, seed=1,
+    ).render(scene)
+    np.testing.assert_allclose(
+        np.asarray(st.tau), np.asarray(st1.tau), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(st.m), np.asarray(st1.m))
+    np.testing.assert_allclose(
+        np.asarray(st.ld), np.asarray(st1.ld), atol=1e-5
+    )
+
+
+def test_render_chunk_invariance():
+    # pixel_chunk is a pure perf knob: identity-keyed streams make the
+    # image invariant to chunk boundaries (f32 add-order noise only).
+    from trace_tpu.models.spheres import build_scene, build_camera
+    from trace_tpu.integrators.whitted import WhittedIntegrator
+    from trace_tpu.sampler.uniform import UniformSampler
+
+    scene = build_scene()
+
+    def render(chunk):
+        cam = build_camera(resolution=16, filename="/tmp/_inv16.png")
+        integ = WhittedIntegrator(cam, UniformSampler(2, seed=4),
+                                  max_depth=2, pixel_chunk=chunk)
+        return np.asarray(cam.film.to_image(integ.render(scene)))
+
+    np.testing.assert_allclose(render(1 << 16), render(97), atol=2e-6)
+
+
+def test_sppm_chunk_invariance():
+    from trace_tpu.models.spheres import build_scene, build_camera
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+
+    scene = build_scene()
+    cam = build_camera(resolution=12, filename="/tmp/_sppm_inv.png")
+    kw = dict(initial_search_radius=0.2, max_depth=2, n_iterations=1,
+              photons_per_iteration=512, seed=7)
+    st_a = SPPMIntegrator(cam, pixel_chunk=1 << 16, **kw).render(scene)
+    st_b = SPPMIntegrator(cam, pixel_chunk=64, **kw).render(scene)
+    np.testing.assert_allclose(
+        np.asarray(st_a.tau), np.asarray(st_b.tau), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(st_a.m), np.asarray(st_b.m))
 
 
 def test_sharded_sppm_helpers_cache_executables():

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from ..core.ray import scale_differentials
 from ..film.film import FilmState
-from ..sampler.uniform import UniformSampler, get_camera_samples
+from ..sampler import uniform as U
+from ..sampler.uniform import UniformSampler
 from . import common
 
 F32 = jnp.float32
@@ -105,8 +106,13 @@ class SamplerIntegrator:
         aux counter)."""
         state, aux = carry
         spp = self.sampler.samples_per_pixel
-        p_film, u_lens, u_time = get_camera_samples(
-            jax.random.fold_in(key, 0), pixels
+        # Identity-keyed randomness: every draw hangs off the PIXEL's
+        # raster id (not its position in the chunk), so the rendered
+        # image is bit-invariant to pixel_chunk and identical in the
+        # sharded path (parallel/render.py runs this same derivation).
+        ks = U.lane_keys(key, U.pixel_ids(pixels))
+        p_film, u_lens, u_time = U.get_camera_samples_lanes(
+            U.fold_lanes(ks, 0), pixels
         )
         p_film = pixels.astype(jnp.float32) + lo + (
             p_film - pixels.astype(jnp.float32)
@@ -115,7 +121,7 @@ class SamplerIntegrator:
             p_film, u_lens, u_time
         )
         rd = scale_differentials(rd, np.float32(1.0 / np.sqrt(spp)))
-        l, aux_s = self._li_with_aux(scene, rd, jax.random.fold_in(key, 1))
+        l, aux_s = self._li_with_aux(scene, rd, U.fold_lanes(ks, 1))
         l = common.sanitize_radiance(l)
         state = self.camera.film.add_samples(
             state, p_film,
@@ -180,9 +186,11 @@ class SamplerIntegrator:
             part, valid = jnp.asarray(part), jnp.asarray(valid)
             # All spp samples for the chunk in one dispatch (the spp loop
             # runs on device — keys/strata are derived inside the jit).
+            # The SAME base key goes to every chunk: per-lane streams are
+            # pixel-identity-keyed in _sample_body, so chunking is purely
+            # a perf knob (sample values are chunk-invariant).
             state, aux = self._chunk_pass(
-                scene, state, aux, part, valid, jax.random.fold_in(key, ci),
-                lights_dev, geom,
+                scene, state, aux, part, valid, key, lights_dev, geom,
             )
         # Device scalar: Whitted specular-queue overflow drops (0 for
         # integrators without a counter). Kept on device — reading it

@@ -20,6 +20,7 @@ from ..core import math as m
 from ..core import spectrum as spec
 from ..core.ray import RayDifferentials
 from ..lights import lights as light_mod
+from ..sampler import uniform as U
 
 F32 = jnp.float32
 
@@ -41,13 +42,16 @@ def offset_ray_origin(p, d, n_geom):
 def sum_over_lights(scene, hit, lobes, key, flags=lb.BSDF_ALL & ~lb.BSDF_SPECULAR):
     """Whitted's direct-lighting loop (sampler.jl:85-94): for every light,
     sample_li, evaluate the BSDF, shadow-test, accumulate
-    f * Li * |wi.ns| / pdf. Returns [N, 3]."""
+    f * Li * |wi.ns| / pdf. Returns [N, 3].
+
+    ``key``: a per-lane key array (identity-keyed, sampler.uniform
+    lane_keys) or a scalar key (positional fallback for direct calls)."""
     n = hit.t.shape[0]
     total = jnp.zeros((n, 3), F32)
     n_lights = light_mod.num_lights(scene.lights)
+    keys = U.ensure_lane_keys(key, n)
     for li_idx in range(n_lights):
-        k = jax.random.fold_in(key, li_idx)
-        u = jax.random.uniform(k, (n, 2), F32)
+        u = U.uniform_lanes(U.fold_lanes(keys, li_idx), 2)
         idx = jnp.full((n,), li_idx, jnp.int32)
         radiance, wi, pdf, p_light = light_mod.sample_li(
             scene.lights, idx, hit.p, u,
@@ -146,8 +150,8 @@ def uniform_sample_one_light(scene, hit, lobes, key, light_cdf=None):
     n_lights = light_mod.num_lights(scene.lights)
     if n_lights == 0:
         return jnp.zeros((n, 3), F32)
-    k1, k2, k3 = jax.random.split(key, 3)
-    u_pick = jax.random.uniform(k1, (n,), F32)
+    row = U.uniform_lanes(U.ensure_lane_keys(key, n), 5)
+    u_pick = row[:, 0]
     if light_cdf is None:
         idx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
         pmf = jnp.full((n,), 1.0 / n_lights, F32)
@@ -156,8 +160,8 @@ def uniform_sample_one_light(scene, hit, lobes, key, light_cdf=None):
         idx = jnp.minimum(idx, n_lights - 1)
         prev = jnp.concatenate([jnp.zeros(1, F32), light_cdf[:-1]])
         pmf = (light_cdf - prev)[idx]
-    u_light = jax.random.uniform(k2, (n, 2), F32)
-    u_scatter = jax.random.uniform(k3, (n, 2), F32)
+    u_light = row[:, 1:3]
+    u_scatter = row[:, 3:5]
     ld = estimate_direct(scene, hit, lobes, idx, u_light, u_scatter)
     return ld / jnp.maximum(pmf, 1e-12)[..., None]
 

@@ -18,6 +18,7 @@ from ..core import math as m
 from ..core import spectrum as spec
 from ..core.ray import SPAWN_EPS
 from ..materials.materials import compute_scattering
+from ..sampler import uniform as U
 from ..utils.pytree import replace
 from . import common
 from .base import SamplerIntegrator
@@ -26,13 +27,17 @@ F32 = jnp.float32
 
 
 def li(scene, rd, key, max_depth: int = 5, rr_depth: int = 3):
-    """Path-traced radiance for a megabatch of camera rays -> [N, 3]."""
+    """Path-traced radiance for a megabatch of camera rays -> [N, 3].
+
+    ``key``: per-lane key array (identity-keyed) or scalar key
+    (positional fallback for direct calls)."""
     n = rd.o.shape[0]
+    keys = U.ensure_lane_keys(key, n)
 
     def body(bounce, carry):
         # bounce is traced: one compiled body serves every depth level.
         o, d, time, beta, active, specular_bounce, l_out = carry
-        k = jax.random.fold_in(key, bounce)
+        k = U.fold_lanes(keys, bounce)
         hit = scene.intersect(o, d, jnp.full((n,), jnp.inf, F32), time)
         live = active & hit.valid
 
@@ -49,12 +54,12 @@ def li(scene, rd, key, max_depth: int = 5, rr_depth: int = 3):
 
         # Next-event estimation with MIS.
         ld = common.uniform_sample_one_light(
-            scene, hit, lobes, jax.random.fold_in(k, 0)
+            scene, hit, lobes, U.fold_lanes(k, 0)
         )
         l_out = l_out + jnp.where(live[:, None], beta * ld, 0.0)
 
         # Continue the path.
-        u = jax.random.uniform(jax.random.fold_in(k, 1), (n, 2), F32)
+        u = U.uniform_lanes(U.fold_lanes(k, 1), 2)
         bs = B.sample_f(lobes, hit.wo, u, lb.BSDF_ALL)
         ok = live & (bs.pdf > 0) & ~spec.is_black(bs.f)
         specular_bounce = jnp.where(
@@ -70,7 +75,7 @@ def li(scene, rd, key, max_depth: int = 5, rr_depth: int = 3):
 
         # Russian roulette on throughput luminance after rr_depth bounces.
         q = jnp.maximum(0.05, 1.0 - spec.to_y(beta_next))
-        u_rr = jax.random.uniform(jax.random.fold_in(k, 2), (n,), F32)
+        u_rr = U.uniform_lanes(U.fold_lanes(k, 2), 1)[:, 0]
         do_rr = bounce >= rr_depth
         killed = do_rr & (u_rr < q)
         beta_next = jnp.where(

@@ -42,7 +42,7 @@ from ..core.ray import SPAWN_EPS, scale_differentials
 from ..lights import lights as light_mod
 from ..materials.materials import compute_scattering
 from ..sampler.halton import radical_inverse
-from ..sampler.uniform import get_camera_samples
+from ..sampler import uniform as U
 from ..utils.pytree import pytree, replace
 from . import common
 
@@ -138,9 +138,9 @@ class SPPMIntegrator:
         self.stats = stats
         self.mesh = mesh            # jax.sharding.Mesh -> SPMD photon/pair
         self.shard_axis = shard_axis
-        # Camera-pass sharding folds the device index into the PRNG keys,
-        # so it changes the (unbiased) sample stream vs a single device;
-        # photon/pair sharding stays bit-exact (Halton-keyed). Opt-in.
+        # Camera-pass sharding is bit-exact: camera streams are
+        # pixel-identity-keyed (sampler.uniform.lane_keys), photon/pair
+        # sharding is Halton-keyed. Opt-in for dispatch-count reasons.
         self.shard_camera = bool(shard_camera)
         self.camera = camera
         self.initial_search_radius = float(initial_search_radius)
@@ -197,9 +197,10 @@ class SPPMIntegrator:
             start = ci * chunk
             part = jax.lax.dynamic_slice(pixels, (start, 0), (chunk, 2))
             val = jax.lax.dynamic_slice(lane_valid, (start,), (chunk,))
-            ld_c, vp_c = self._camera_pass_body(
-                scene, part, val, jax.random.fold_in(it_key, ci)
-            )
+            # it_key unfolded: per-lane streams are pixel-identity-keyed
+            # inside _camera_pass_body, so pixel_chunk (and sharding) are
+            # purely perf knobs.
+            ld_c, vp_c = self._camera_pass_body(scene, part, val, it_key)
             ld_all = jax.lax.dynamic_update_slice(ld_all, ld_c, (start, 0))
             vp_all = jax.tree.map(
                 lambda a, c_: jax.lax.dynamic_update_slice(
@@ -217,8 +218,9 @@ class SPPMIntegrator:
         Pure (unjitted) so it can also run under shard_map."""
         c = pixels.shape[0]
         inv_sqrt_spp = np.float32(1.0 / np.sqrt(self.n_iterations))
-        p_film, u_lens, u_time = get_camera_samples(
-            jax.random.fold_in(key, 0), pixels
+        ks = U.lane_keys(key, U.pixel_ids(pixels))
+        p_film, u_lens, u_time = U.get_camera_samples_lanes(
+            U.fold_lanes(ks, 0), pixels
         )
         rd, beta_w = self.camera.generate_ray_differentials(
             p_film, u_lens, u_time
@@ -241,7 +243,7 @@ class SPPMIntegrator:
             # depth is traced (1-based); one compiled body serves every
             # level — the dominant compile-time lever on a single host core.
             o, d, time, beta, active, specular_bounce, ld, vp = carry
-            k_depth = jax.random.fold_in(key, depth)
+            k_depth = U.fold_lanes(ks, depth)
             hit = scene.intersect(o, d, jnp.full((c,), jnp.inf, F32), time)
             live = active & hit.valid
             hit = replace(hit, valid=live)
@@ -258,7 +260,7 @@ class SPPMIntegrator:
             # Direct lighting — intentionally NOT scaled by β, matching the
             # reference (sppm.jl:229-231).
             direct = common.uniform_sample_one_light(
-                scene, hit, lobes, jax.random.fold_in(k_depth, 0)
+                scene, hit, lobes, U.fold_lanes(k_depth, 0)
             )
             ld = ld + jnp.where(live[:, None], direct, 0.0)
 
@@ -284,7 +286,7 @@ class SPPMIntegrator:
             active = live & ~make_vp
 
             # Continue the path (sppm.jl:248-268).
-            u = jax.random.uniform(jax.random.fold_in(k_depth, 1), (c, 2), F32)
+            u = U.uniform_lanes(U.fold_lanes(k_depth, 1), 2)
             bs = B.sample_f(lobes, hit.wo, u, lb.BSDF_ALL)
             ok = active & (bs.pdf > 0) & ~spec.is_black(bs.f)
             specular_bounce = jnp.where(
@@ -296,7 +298,7 @@ class SPPMIntegrator:
             by = spec.to_y(beta_new)
             rr = by < 0.25
             cp = jnp.minimum(1.0, by)
-            u_rr = jax.random.uniform(jax.random.fold_in(k_depth, 2), (c,), F32)
+            u_rr = U.uniform_lanes(U.fold_lanes(k_depth, 2), 1)[:, 0]
             killed = rr & (u_rr > cp)
             beta_next = jnp.where(
                 (rr & ~killed)[:, None],

@@ -20,6 +20,7 @@ from ..core import spectrum as spec
 from ..core.interaction import compute_differentials
 from ..core.ray import RayDifferentials, SPAWN_EPS
 from ..materials.materials import compute_scattering
+from ..sampler import uniform as U
 from ..utils.pytree import replace
 from . import common
 from .base import SamplerIntegrator
@@ -27,12 +28,11 @@ from .base import SamplerIntegrator
 F32 = jnp.float32
 
 
-def _sample_specular(scene, hit, lobes, rd, valid, key, flags):
+def _sample_specular(scene, hit, lobes, rd, valid, keys, flags):
     """One specular branch (sampler.jl:103-199): sample_f restricted to
     SPECULAR|REFLECTION or |TRANSMISSION, child beta factor, spawned child
-    ray with propagated differentials."""
-    n = hit.t.shape[0]
-    u = jax.random.uniform(key, (n, 2), F32)
+    ray with propagated differentials. ``keys``: per-lane key array."""
+    u = U.uniform_lanes(keys, 2)
     bs = B.sample_f(lobes, hit.wo, u, flags)
     cos_i = m.dot(bs.wi, hit.ns)
     ok = (
@@ -81,14 +81,22 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5,
     Glass-heavy scenes where drops are non-zero should raise the capacity
     (``WhittedIntegrator(queue_capacity=2*chunk)`` doubles it at ~2x the
     per-level cost).
+
+    ``key``: a per-lane key array (identity-keyed — the render loop
+    passes pixel-id keys so output is invariant to chunking/sharding) or
+    a scalar key (positional fallback for direct calls). Each queue entry
+    carries a heap-numbered ``path`` id, so the reflection and
+    transmission subtrees of one pixel draw decorrelated streams.
     """
     n = rd.o.shape[0]
+    keys = U.ensure_lane_keys(key, n)
     cap = n if queue_capacity is None else max(int(queue_capacity), n)
     queue = common.vary_like(
         dict(
             rd=rd,
             beta=jnp.ones((n, 3), F32),
             slot=jnp.arange(n, dtype=jnp.int32),
+            path=jnp.zeros((n,), jnp.uint32),
             active=jnp.ones((n,), bool),
         ),
         rd.o[..., 0],
@@ -107,7 +115,10 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5,
     def body(depth, carry):
         # depth is traced: one compiled body serves every level.
         l_buf, queue, drops = carry
-        k_depth = jax.random.fold_in(key, depth)
+        # Per-lane keys: pixel identity (via slot) + branch path + depth.
+        k_depth = U.fold_lanes(
+            U.fold_lanes(keys[queue["slot"]], queue["path"]), depth
+        )
         q_rd = queue["rd"]
         hit = scene.intersect(q_rd.o, q_rd.d, q_rd.t_max, q_rd.time)
         valid = queue["active"] & hit.valid
@@ -135,7 +146,7 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5,
         # Emitted + direct (le is only non-zero for our area lights).
         contrib = scene.area_light_radiance(hit, hit.wo)
         contrib = contrib + common.sum_over_lights(
-            scene, hit, lobes, jax.random.fold_in(k_depth, 0)
+            scene, hit, lobes, U.fold_lanes(k_depth, 0)
         )
         contrib = common.sanitize_radiance(queue["beta"] * contrib)
         l_buf = l_buf.at[queue["slot"]].add(
@@ -151,12 +162,15 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5,
         ):
             child_rd, factor, ok = _sample_specular(
                 scene, hit, lobes, q_rd, spawn,
-                jax.random.fold_in(k_depth, branch + 1), flags,
+                U.fold_lanes(k_depth, branch + 1), flags,
             )
             children.append(dict(
                 rd=child_rd,
                 beta=jnp.where(ok[..., None], queue["beta"] * factor, 0.0),
                 slot=queue["slot"],
+                # Heap numbering: unique id per node of the binary
+                # recursion tree (depth <= 15 fits uint32).
+                path=queue["path"] * jnp.uint32(2) + jnp.uint32(branch + 1),
                 active=ok,
             ))
         all_children = jax.tree.map(

@@ -21,7 +21,7 @@ from ..film.film import FilmState
 from ..integrators.whitted import li
 from ..integrators import common
 from ..core.ray import scale_differentials
-from ..sampler.uniform import get_camera_samples
+from ..sampler import uniform as U
 
 F32 = jnp.float32
 
@@ -49,11 +49,15 @@ def _sharded_step(scene, camera, mesh: Mesh, spp: int, max_depth: int,
     def step(pix, lane_valid, key, lights):
         scn = scene.with_lights(lights)
         state = film.initial_state()
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         for s in range(spp):
-            k = jax.random.fold_in(key, s)
-            p_film, u_lens, u_time = get_camera_samples(
-                jax.random.fold_in(k, 0), pix
+            # Identical derivation to SamplerIntegrator._sample_body:
+            # per-sample fold, then pixel-identity lane keys — the
+            # sharded render draws the EXACT single-chip sample streams.
+            ks = U.lane_keys(
+                jax.random.fold_in(key, s), U.pixel_ids(pix)
+            )
+            p_film, u_lens, u_time = U.get_camera_samples_lanes(
+                U.fold_lanes(ks, 0), pix
             )
             rd, weight = camera.generate_ray_differentials(
                 p_film, u_lens, u_time
@@ -62,7 +66,7 @@ def _sharded_step(scene, camera, mesh: Mesh, spp: int, max_depth: int,
                 rd, np.float32(1.0 / np.sqrt(spp))
             )
             l = common.sanitize_radiance(
-                li(scn, rd, jax.random.fold_in(k, 1), max_depth)
+                li(scn, rd, U.fold_lanes(ks, 1), max_depth)
             )
             state = film.add_samples(
                 state, p_film,
@@ -80,10 +84,10 @@ def render_sharded(scene, camera, mesh: Mesh, spp: int = 1, max_depth: int = 5,
     """Render the camera's full film, data-parallel over the mesh.
 
     Pixels are padded to a multiple of the mesh size and split evenly; the
-    per-device partial films are psum-reduced. Deterministic for a FIXED
-    mesh size: lane -> pixel assignment is device-count independent, but
-    the per-device key fold (below) means a 1-chip and an 8-chip render
-    draw different (equally unbiased) sample streams.
+    per-device partial films are psum-reduced. Sample streams are
+    pixel-identity-keyed (sampler.uniform.lane_keys), so every device
+    count — including 1 — draws the EXACT streams of the single-chip
+    SamplerIntegrator render; only f32 film-accumulation order differs.
     """
     film = camera.film
     (x0, y0), (x1, y1) = film.sample_bounds()
@@ -98,8 +102,6 @@ def render_sharded(scene, camera, mesh: Mesh, spp: int = 1, max_depth: int = 5,
     pixels = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
 
     step = _sharded_step(scene, camera, mesh, spp, max_depth, axis)
-    # Keys fold in the device index so sample jitter decorrelates across
-    # shards (deterministic for a fixed mesh size).
     key = jax.random.key(seed)
     lights = jax.tree.map(jnp.asarray, scene.lights)
     return step(jnp.asarray(pixels), jnp.asarray(valid), key, lights)

@@ -99,7 +99,8 @@ def pair_pass_sharded(integ, mesh: Mesh, axis: str,
 @functools.lru_cache(maxsize=64)
 def _camera_pass_jit(integ, scene, mesh: Mesh, axis: str):
     def body(pix, valid, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        # No device fold: _camera_pass_body keys every draw off the
+        # pixel identity, so the sharded pass is BIT-EXACT vs one chip.
         ld, vp = integ._camera_pass_body(scene, pix, valid, key)
         return ld, vp
 
@@ -112,8 +113,8 @@ def _camera_pass_jit(integ, scene, mesh: Mesh, axis: str):
 
 def camera_pass_sharded(integ, scene, mesh: Mesh, axis: str,
                         pixels, lane_valid, it_key):
-    """Shard the SPPM camera pass over the mesh pixel axis. Keys fold in
-    the device index, so the sample stream differs from (but is as
-    unbiased as) the single-device pass."""
+    """Shard the SPPM camera pass over the mesh pixel axis. Pixel-
+    identity-keyed streams make it bit-exact vs the single-device
+    pass."""
     return _camera_pass_jit(integ, scene, mesh, axis)(
         pixels, lane_valid, it_key)

@@ -59,3 +59,15 @@ def test_sppm_render_populates_stats():
     # Each VP emits at most 8 grid entries; occupancy is positive and
     # bounded by both the hash-table size and the entry count.
     assert 0 < d["grid_cells_occupied"] <= min(2 * n_pix, 8 * d["visible_points"])
+
+
+def test_trace_profile_writes_perfetto_trace(tmp_path):
+    import jax.numpy as jnp
+    from trace_tpu.utils.stats import trace_profile
+
+    out = tmp_path / "prof"
+    with trace_profile(str(out)):
+        x = jnp.sqrt(jnp.arange(128.0))
+    files = list(out.rglob("*"))
+    assert any(f.suffix in (".gz", ".json", ".pb") or "trace" in f.name
+               for f in files if f.is_file()), files

@@ -39,3 +39,39 @@ class RenderStats:
     def __repr__(self):
         rows = ", ".join(f"{k}={v:.6g}" for k, v in sorted(self.counters.items()))
         return f"RenderStats({rows})"
+
+
+class trace_profile:
+    """Perfetto/XLA profiler capture around a render (SURVEY §5's
+    "JAX profiler traces" plan): every jit dispatch, compile, and (on
+    TPU) device op inside the block lands in a trace viewable at
+    ui.perfetto.dev or TensorBoard.
+
+        with trace_profile("/tmp/trace"):
+            integ.render(scene)
+
+    Thin by design — jax.profiler.trace does the work; this wrapper only
+    adds the block-until-ready barrier a correct capture needs (pending
+    async dispatches would otherwise fall outside the trace window).
+    """
+
+    def __init__(self, log_dir: str, *barrier_args):
+        self.log_dir = log_dir
+        self.barrier_args = barrier_args
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        import jax
+
+        if exc_type is None:
+            for a in self.barrier_args:
+                jax.block_until_ready(a)
+            # Also flush anything still in flight from the block body.
+            jax.effects_barrier()
+        jax.profiler.stop_trace()
+        return False

@@ -101,14 +101,19 @@ class OracleCamera:
                  screen_window=((-1.0, -1.0), (1.0, 1.0))):
         (sx0, sy0), (sx1, sy1) = screen_window
         rx = ry = resolution
-        screen_to_raster = (
-            scale(rx, ry, 1.0)
-            @ scale(1.0 / (sx1 - sx0), 1.0 / (sy1 - sy0), 1.0)
-            @ translate([-sx0, -sy1, 0.0])
+        # The reference composes cached inverses in the SAME order as the
+        # forward product (transformations.jl:20-22) — a wrong-order
+        # "inverse" whose translation column is scaled by the raster diag.
+        # Replicate it factor-by-factor (the repo camera does the same
+        # under convention="reference", core/transform.py:compose_ref).
+        raster_to_screen = (
+            np.linalg.inv(scale(rx, ry, 1.0))
+            @ np.linalg.inv(scale(1.0 / (sx1 - sx0), 1.0 / (sy1 - sy0), 1.0))
+            @ np.linalg.inv(translate([-sx0, -sy1, 0.0]))
         )
         camera_to_screen = perspective(fov, 1e-2, 1000.0)
         self.raster_to_camera = (
-            np.linalg.inv(camera_to_screen) @ np.linalg.inv(screen_to_raster)
+            np.linalg.inv(camera_to_screen) @ raster_to_screen
         )
         self.camera_to_world = look_at(position, target, up)
 

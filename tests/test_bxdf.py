@@ -54,9 +54,15 @@ def test_lambertian_reflection_f_and_pdf():
     np.testing.assert_allclose(np.asarray(f)[0], np.asarray(r) / np.pi, rtol=1e-6)
     pdf = lb.pdf(p, wo, wi)
     assert float(pdf[0]) == pytest.approx(0.8 / np.pi, rel=1e-5)
-    # Opposite hemisphere: zero.
+    # Opposite hemisphere: pdf is zero (bxdf.jl:23-25), but the lobe's f
+    # carries NO hemisphere check (lambertian.jl:22 is a constant r/pi) —
+    # reflection-vs-transmission side selection happens at the BSDF level
+    # via the GEOMETRIC normal (bsdf.jl:86), so shading normals tilted
+    # across the geometric plane still light correctly.
     assert float(lb.pdf(p, wo, -wi)[0]) == 0.0
-    assert np.all(np.asarray(lb.f(p, wo, -wi)) == 0.0)
+    np.testing.assert_allclose(
+        np.asarray(lb.f(p, wo, -wi))[0], np.asarray(r) / np.pi, rtol=1e-6
+    )
 
 
 def test_lambertian_white_furnace():
@@ -223,3 +229,30 @@ def test_bsdf_sample_f_respects_type_flags():
                     flags=lb.BSDF_ALL)
     assert float(s2.pdf[0]) > 0.0
     assert int(s2.sampled_flags[0]) & lb.BSDF_SPECULAR
+
+
+def test_bsdf_f_with_tilted_shading_normal():
+    """Side selection is GEOMETRIC (bsdf.jl:86): with a shading normal
+    tilted across the geometric plane (the spheres.jl wall, whose shared
+    floor vertices carry (0,1,0) normals), wo can sit below the SHADING
+    hemisphere while wi sits above — the reference still evaluates the
+    reflection lobe (per-lobe f has no hemisphere check). A blanket
+    shading-hemisphere zero here blacked out the whole mirror-reflected
+    wall in the shadows scene."""
+    n = 1
+    ng = jnp.asarray([[0.0, 0.0, 1.0]])
+    ns = m.normalize(jnp.asarray([[0.0, 0.9815721, 0.19109252]]))
+    ss = m.normalize(m.cross(ns, jnp.asarray([[0.0, 0.0, 1.0]])))
+    lobes = B.empty_lobes(n, ng=ng, ns=ns, ss=ss)
+    lobes = B.set_lobe(
+        lobes, 0, jnp.ones((n,), bool),
+        kind=jnp.int32(lb.LAMBERTIAN_REFLECTION),
+        c0=jnp.asarray([1.0, 1.0, 1.0]),
+    )
+    wo = m.normalize(jnp.asarray([[-9.375e-04, -0.27506, 0.96143]]))
+    wi = m.normalize(jnp.asarray([[-0.31992, 0.25463, 0.91259]]))
+    # Opposite SHADING hemispheres, same GEOMETRIC side:
+    assert float(m.dot(wo, ns)[0]) * float(m.dot(wi, ns)[0]) < 0
+    assert float(m.dot(wo, ng)[0]) * float(m.dot(wi, ng)[0]) > 0
+    f = B.f(lobes, wo, wi)
+    np.testing.assert_allclose(np.asarray(f)[0], 1.0 / np.pi, rtol=1e-5)

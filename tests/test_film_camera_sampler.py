@@ -94,7 +94,9 @@ def _shadows_camera(res=1024):
 
 def test_camera_rays_match_reference_chain():
     # Expected values computed by independently replicating the reference's
-    # transform chain (incl. its column-major perspective matrix) in numpy.
+    # transform chain (incl. its column-major perspective matrix AND its
+    # wrong-order inverse composition, transformations.jl:20-22) in f64
+    # numpy (tests/oracle_whitted.py OracleCamera at res 1024).
     cam = _shadows_camera()
     p = jnp.array([[0.0, 0.0], [512.0, 512.0], [1024.0, 1024.0]], jnp.float32)
     rd, w = cam.generate_ray_differentials(
@@ -105,13 +107,13 @@ def test_camera_rays_match_reference_chain():
         rd.o[0], [0.0, 15.0, 50.0], atol=1e-4
     )
     np.testing.assert_allclose(
-        rd.d[0], [-0.01, -0.2675, -0.9635], atol=2e-3
+        rd.d[0], [0.0, -0.2771, -0.9608], atol=2e-3
     )
     np.testing.assert_allclose(
-        rd.d[1], [0.0, -0.2579, -0.9662], atol=2e-3
+        rd.d[1], [0.01, -0.2675, -0.9635], atol=2e-3
     )
     np.testing.assert_allclose(
-        rd.d[2], [0.01, -0.2482, -0.9687], atol=2e-3
+        rd.d[2], [0.02, -0.2578, -0.9660], atol=2e-3
     )
     # Differential structure: a film-space shift moves the direction the
     # right way. The reference's telephoto chain makes a ONE-pixel shift
@@ -314,3 +316,47 @@ def test_dof_pinhole_matches_zero_radius_limit():
                              lens_radius=1e-5, focal_distance=5.0)
     o1, d1 = cam1._one_ray(p, u)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
+
+
+def test_reference_convention_replicates_julia_inverse_composition():
+    """The reference composes cached inverses in the SAME order as the
+    forward product (transformations.jl:20-22), so its raster_to_screen
+    translation column is scaled by the raster diag — the effective
+    screen window sits ~[0,2)^2, a full unit off a true inverse. The
+    default convention must reproduce that chain BIT-exactly (f32)."""
+    def t_scale(x, y, z):
+        return (np.diag([x, y, z, 1.0]).astype(np.float32),
+                np.diag([1 / x, 1 / y, 1 / z, 1.0]).astype(np.float32))
+
+    def t_translate(v):
+        m_ = np.eye(4, dtype=np.float32); m_[:3, 3] = v
+        i_ = np.eye(4, dtype=np.float32); i_[:3, 3] = [-v[0], -v[1], -v[2]]
+        return (m_, i_)
+
+    def t_from(mat):
+        mat = np.asarray(mat, np.float32)
+        return (mat, np.linalg.inv(mat).astype(np.float32))
+
+    def mul_ref(t1, t2):  # transformations.jl:20-22 (wrong-order inv)
+        return (t1[0] @ t2[0], t1[1] @ t2[1])
+
+    def inv_ref(t):
+        return (t[1], t[0])
+
+    fov, near, far = 90.0, 1e-2, 1000.0
+    a_, b_ = far / (far - near), -far * near / (far - near)
+    p = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, a_, 1], [0, 0, b_, 0]],
+                 np.float32)
+    it = 1.0 / np.tan(np.deg2rad(fov) / 2)
+    cam_to_screen = mul_ref(t_scale(it, it, 1.0), t_from(p))
+    res = 256
+    s2r = mul_ref(mul_ref(t_scale(res, res, 1.0), t_scale(0.5, 0.5, 1.0)),
+                  t_translate([1.0, -1.0, 0.0]))
+    r2c_ref = mul_ref(inv_ref(cam_to_screen), inv_ref(s2r))[0]
+
+    cam = PerspectiveCamera(T.identity(), film=Film((res, res)), fov=fov)
+    np.testing.assert_array_equal(np.asarray(cam.raster_to_camera.m), r2c_ref)
+    # And the quirk is actually present: raster (0,0) lands near screen 0,
+    # not at the window corner -1.
+    rs = np.asarray(cam.raster_to_screen.m)
+    assert abs(rs[0, 3]) < 0.01 and abs(rs[1, 3]) < 0.01

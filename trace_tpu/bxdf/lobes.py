@@ -183,7 +183,6 @@ def f(p: LobeParams, wo, wi, mode=RADIANCE):
     Delta lobes return 0 (reference specular.jl)."""
     k = p.kind
     out = jnp.zeros_like(p.c0)
-    same = m.same_hemisphere(wo, wi)
 
     lam_r = p.c0 * m.INV_PI
     out = jnp.where((k == LAMBERTIAN_REFLECTION)[..., None], lam_r, out)
@@ -199,14 +198,17 @@ def f(p: LobeParams, wo, wi, mode=RADIANCE):
         _f_microfacet_transmission(p, wo, wi, mode),
         out,
     )
-    # Hemisphere validity: reflective kinds need same hemisphere,
-    # transmissive the opposite (matches per-BxDF checks in the reference).
-    refl_kinds = (k == LAMBERTIAN_REFLECTION) | (k == OREN_NAYAR) | (
-        k == MICROFACET_REFLECTION
-    )
-    trans_kinds = (k == LAMBERTIAN_TRANSMISSION)
-    out = jnp.where((refl_kinds & ~same)[..., None], 0.0, out)
-    out = jnp.where((trans_kinds & same)[..., None], 0.0, out)
+    # NO blanket hemisphere zeroing: the reference's per-lobe f() carries
+    # no same-hemisphere check (lambertian.jl:22,57, microfacet.jl:21,221)
+    # — the reflection-vs-transmission side decision belongs to the BSDF
+    # wrapper via the GEOMETRIC normal (bsdf.jl:86, bsdf.py:_refl_trans_
+    # mask). Zeroing on the SHADING hemisphere here blacked out valid
+    # lighting wherever interpolated normals tilt across the geometric
+    # plane (e.g. the spheres.jl wall, whose shared floor vertices carry
+    # (0,1,0) normals). Only MicrofacetTransmission checks hemispheres in
+    # the reference (microfacet.jl:283), inside its own evaluator above.
+    # (pdf() keeps its hemisphere masks: the reference's compute_pdf does
+    # check, bxdf.jl:23-25 / lambertian.jl:85-89.)
     return out
 
 

@@ -67,8 +67,17 @@ class PerspectiveCamera:
         y_scale = (
             1.0 / (sy0 - sy1) if convention == "pbrt" else 1.0 / (sy1 - sy0)
         )
-        screen_to_raster = T.compose(
-            T.compose(
+        # Under the reference convention the chain must use the Julia
+        # code's wrong-order inverse composition (T.compose_ref,
+        # transformations.jl:20-22): its raster_to_screen is the inv slot
+        # of that product, whose translation column comes out scaled by
+        # the raster diag — the effective screen window sits at ~[0,2)^2
+        # for the stock (-1,-1)..(1,1) window, one full unit off the
+        # mathematically-correct inverse. Verified numerically against
+        # the literal Julia semantics; "pbrt" keeps true inverses.
+        comp = T.compose if convention == "pbrt" else T.compose_ref
+        screen_to_raster = comp(
+            comp(
                 T.scale(rx, ry, 1.0),
                 T.scale(1.0 / (sx1 - sx0), y_scale, 1.0),
             ),
@@ -77,7 +86,7 @@ class PerspectiveCamera:
         self.raster_to_screen = T.inverse(screen_to_raster)
         self.screen_to_raster = screen_to_raster
         self.camera_to_screen = camera_to_screen
-        self.raster_to_camera = T.compose(
+        self.raster_to_camera = comp(
             T.inverse(camera_to_screen), self.raster_to_screen
         )
 

@@ -128,6 +128,21 @@ def look_at(position, target, up) -> Transform:
     return compose(translate(position), Transform(rot, rot.T.copy()))
 
 
+def compose_ref(t1: Transform, t2: Transform) -> Transform:
+    """The reference's literal composition (transformations.jl:20-22):
+    the cached inverse multiplies in the SAME order as the forward matrix
+    — NOT a true inverse unless the factors commute. The camera chain's
+    raster_to_screen is the inv slot of such a wrong-order product
+    (camera/perspective.jl:31), which shifts the effective screen window
+    by +1 in x and y for the stock (-1,-1)..(1,1) window: replicate it
+    (under convention="reference") or the rendered framing diverges from
+    actual Julia output by a full screen unit (verified numerically)."""
+    return Transform(
+        np.asarray(t1.m @ t2.m, np.float32),
+        np.asarray(t1.inv_m @ t2.inv_m, np.float32),
+    )
+
+
 def dir_to_z(d) -> Transform:
     """World-to-local frame that maps direction ``d`` onto +z — the spot
     light aiming frame the reference scenes build inline

@@ -115,3 +115,22 @@ def test_material_masking_by_id():
         [lb.LAMBERTIAN_REFLECTION, lb.SPECULAR_REFLECTION,
          lb.LAMBERTIAN_REFLECTION, lb.SPECULAR_REFLECTION],
     )
+
+
+def test_scale_texture_scalar_value_spectral_scale():
+    # Broadcasting must work in BOTH directions (a scalar value with a
+    # spectral scale previously raised a shape error inside jit).
+    from trace_tpu.materials.textures import ConstantTexture, ScaleTexture
+    from trace_tpu.core.interaction import empty_hit
+
+    hit = empty_hit((4,))
+    t1 = ScaleTexture(ConstantTexture(0.5), ConstantTexture((1.0, 2.0, 3.0)))
+    np.testing.assert_allclose(
+        np.asarray(t1(hit)), np.tile([0.5, 1.0, 1.5], (4, 1))
+    )
+    t2 = ScaleTexture(ConstantTexture((1.0, 2.0, 3.0)), ConstantTexture(0.5))
+    np.testing.assert_allclose(
+        np.asarray(t2(hit)), np.tile([0.5, 1.0, 1.5], (4, 1))
+    )
+    t3 = ScaleTexture(ConstantTexture(0.5), ConstantTexture(2.0))
+    np.testing.assert_allclose(np.asarray(t3(hit)), np.full(4, 1.0))

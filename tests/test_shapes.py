@@ -224,3 +224,38 @@ def test_shared_edge_ray_is_watertight():
         hit = scene.intersect(o, d, jnp.full((1,), jnp.inf, jnp.float32))
         assert bool(hit.valid[0]), f"exact_edges={exact}"
         assert abs(float(hit.t[0]) - 5.0) < 1e-5
+
+
+def test_mirrored_sphere_normal_matches_reference_semantics():
+    """A handedness-swapping object_to_world double-flipped the sphere
+    normal: the world-space dpdu x dpdv cross already carries sign(det),
+    so packing flip = rev XOR swaps re-flipped it. Reference semantics
+    (object-space cross, rev-xor-swaps flip, covariant transform,
+    surface_interaction.jl:51-68/:154-181) net to
+    n = (rev^swaps) * invT(M) * n_obj — for a mirror M = diag(1,1,-1)
+    (same world geometry as identity) that is the IDENTITY sphere's
+    normal NEGATED; reverse_orientation=True flips it back."""
+    import dataclasses
+    from trace_tpu.scene import SceneBuilder
+    from trace_tpu.materials.materials import MatteMaterial
+
+    def normal(o2w, rev):
+        b = SceneBuilder()
+        mid = b.material(MatteMaterial())
+        b.sphere(o2w, 1.0, mid, reverse_orientation=rev)
+        scene = b.build()
+        o = jnp.asarray([[0.3, 0.2, 3.0]], jnp.float32)
+        dv = np.array([-0.1, -0.05, -1.0], np.float32)
+        d = jnp.asarray(dv / np.linalg.norm(dv))[None]
+        hit = scene.intersect(o, d, jnp.full(1, jnp.inf, jnp.float32))
+        assert bool(hit.valid[0])
+        return np.asarray(hit.p[0]), np.asarray(hit.n[0])
+
+    p_id, n_id = normal(T.identity(), False)
+    p_m, n_m = normal(T.scale(1.0, 1.0, -1.0), False)
+    np.testing.assert_allclose(p_m, p_id, atol=1e-5)     # same world sphere
+    np.testing.assert_allclose(n_m, -n_id, atol=1e-5)    # reference flip
+    _, n_mr = normal(T.scale(1.0, 1.0, -1.0), True)
+    np.testing.assert_allclose(n_mr, n_id, atol=1e-5)    # rev restores
+    # Identity sphere: outward geometric normal at the hit point.
+    np.testing.assert_allclose(n_id, p_id / np.linalg.norm(p_id), atol=1e-4)

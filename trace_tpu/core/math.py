@@ -43,7 +43,13 @@ def length(a):
 
 
 def normalize(a):
-    return a / jnp.maximum(length(a), EPS)[..., None]
+    # Zero-guard only (no absolute EPS clamp): an absolute floor silently
+    # returns non-unit vectors in very-small-unit scenes; the reference's
+    # normalize divides by the true norm, underflowing to the same f32
+    # floor this guard handles (n == 0 with nonzero a is the f32
+    # sum-of-squares underflow — the vector passes through unchanged).
+    n = length(a)
+    return a / jnp.where(n == 0.0, 1.0, n)[..., None]
 
 
 def distance(a, b):

@@ -90,8 +90,13 @@ class ScaleTexture(Texture):
     def __call__(self, hit):
         v = self.value(hit)
         s = self.scale(hit)
+        # Promote whichever side is scalar: [N] * [N,3] broadcasts in
+        # EITHER direction (a scalar value with a spectral scale is legal
+        # in the reference too, basic.jl:13-21).
         if v.ndim > s.ndim:
             s = s[..., None]
+        elif s.ndim > v.ndim:
+            v = v[..., None]
         return v * s
 
 

@@ -121,14 +121,6 @@ class SceneBuilder:
         if use_bvh is None:
             use_bvh = scene.n_triangles > 64
         if use_bvh and scene.n_triangles:
-            # Leaf/stage sizes from a v5e sweep (1M-tri heightfield,
-            # camera rays): small leaves + wide stages retire lanes
-            # earlier — 64/128 measured 107 Mrays/s vs 72 for 128/64.
-            # Small scenes keep finer leaves for tighter culling.
-            if scene.n_triangles < 300_000:
-                leaf, stage = 32, 64
-            else:
-                leaf, stage = 64, 128
             if accelerator == "auto":
                 accelerator = (
                     "pallas_sweep" if jax.default_backend() == "tpu"
@@ -137,12 +129,24 @@ class SceneBuilder:
             if accelerator == "pallas_sweep":
                 from .ops.sweep_pallas import attach as attach_sweep
 
+                # The kernel's measured tuning: leaf 64 keeps each
+                # (group x leaf) Moller-Trumbore panel MXU-tile aligned;
+                # its per-block demand order already provides the tight
+                # culling the cluster path buys with finer leaves.
                 attach_sweep(scene, leaf_tris=64,
                              max_prims_per_leaf=max_prims_per_leaf,
                              ray_chunk=16384)
             else:
                 from .accel.clusters import attach
 
+                # Leaf/stage from a v5e sweep (1M-tri heightfield, camera
+                # rays): small leaves + wide stages retire lanes earlier
+                # — 64/128 measured 107 Mrays/s vs 72 for 128/64; small
+                # scenes keep finer leaves for tighter culling.
+                if scene.n_triangles < 300_000:
+                    leaf, stage = 32, 64
+                else:
+                    leaf, stage = 64, 128
                 attach(scene, leaf_tris=leaf, stage_clusters=stage,
                        max_prims_per_leaf=max_prims_per_leaf)
         return scene

@@ -31,7 +31,7 @@ class Spheres:
     theta_max: jnp.ndarray    # [S]
     phi_max: jnp.ndarray      # [S] radians
     material_id: jnp.ndarray  # [S] int32
-    flip_normal: jnp.ndarray  # [S] bool: reverse_orientation XOR swaps_handedness
+    flip_normal: jnp.ndarray  # [S] bool: reverse_orientation (see pack note)
 
 
 def pack_spheres(entries) -> Spheres:
@@ -60,8 +60,15 @@ def pack_spheres(entries) -> Spheres:
         th_max.append(float(np.arccos(np.clip(zmax / r, -1, 1))))
         phi_max.append(float(np.deg2rad(np.clip(e.get("phi_max", 360.0), 0, 360))))
         mat.append(int(e["material_id"]))
-        swaps = bool(np.linalg.det(np.asarray(t.m)[:3, :3]) < 0)
-        flip.append(bool(e.get("reverse_orientation", False)) ^ swaps)
+        # Reference net normal = (rev XOR swaps) * invT(M) * n_obj
+        # (object-space cross in the SurfaceInteraction ctor, then the
+        # covariant transform, surface_interaction.jl:51-68 + :154-181).
+        # We cross WORLD-space dpdu/dpdv (make_surface_hit), which already
+        # carries sign(det M) = the swaps sign — so the packed flip is
+        # reverse_orientation ALONE, or a mirrored sphere's normal would
+        # double-flip (triangles differ: the reference bakes world verts
+        # and crosses world edges, so THEY keep rev XOR swaps).
+        flip.append(bool(e.get("reverse_orientation", False)))
     # Numpy leaves until Scene finalization (see triangle.pack_triangle_mesh).
     return Spheres(
         np.stack([np.asarray(x, np.float32) for x in o2w]),

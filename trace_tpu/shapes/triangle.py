@@ -256,7 +256,11 @@ def _edge_ds(a, b, c, d_):
 
 def _intersect_core(v0, v1, v2, o, d, t_max, exact_edges=False):
     """Watertight test; returns (hit, t, b0, b1, b2)."""
-    degenerate = m.length_squared(m.cross(v2 - v0, v1 - v0)) < 1e-16
+    # EXACT zero like the reference (triangle_mesh.jl:65-67: (v.v) ~ 0f0
+    # is isapprox against a zero literal = exact equality at atol 0) — an
+    # absolute threshold silently discarded valid triangles with edges
+    # under ~3e-5 world units. Padding slots keep an exact-zero cross.
+    degenerate = m.length_squared(m.cross(v2 - v0, v1 - v0)) == 0.0
 
     e0, e1, e2, z0s, z1s, z2s = _ray_space_edges(v0, v1, v2, o, d,
                                                  exact_edges)

@@ -80,7 +80,12 @@ def build_camera(resolution: int = 256, filename: str = "caustics.png",
         filter=LanczosSincFilter((1.0, 1.0), 3.0),
         filename=filename,
     )
-    target = [-0.75, -4.5, -93.0] if showcase else [-3.0, 0.0, -91.0]
+    # showcase: reproduces the round-1 showcase view exactly (center ray
+    # matched to 6e-5 across the frame) — the aim was re-solved through
+    # the actual ray generator after replicating the wrong-order inverse
+    # composition shifted the effective screen window.
+    # Default: the reference's literal look_point (caustic_glass.jl:79).
+    target = [-3.535, -1.205, -93.0] if showcase else [-3.0, 0.0, -91.0]
     return PerspectiveCamera(
         T.look_at([0.0, 150.0, 150.0], target, [0.0, 1.0, 0.0]),
         screen_window=((-1.0, -1.0), (1.0, 1.0)),

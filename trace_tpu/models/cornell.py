@@ -64,10 +64,13 @@ def build_camera(resolution: int = 512, filename: str = "cornell.png",
         filter=LanczosSincFilter((1.0, 1.0), 3.0),
         filename=filename,
     )
-    # (0,0,140) -> (0,-2.8,0) frames the box at raster [72, 440] in 512
-    # under the reference-faithful projection quirks.
+    # (0,0,140) -> (-1.397,-1.708,0) centers the box under the
+    # reference-faithful projection quirks INCLUDING the wrong-order
+    # inverse composition (core/transform.py:compose_ref) — the aim was
+    # re-solved numerically through the ACTUAL ray generator (round 2)
+    # after replicating that quirk shifted the effective screen window.
     return PerspectiveCamera(
-        T.look_at([0.0, 0.0, 140.0], [0.0, -2.8, 0.0], [0.0, 1.0, 0.0]),
+        T.look_at([0.0, 0.0, 140.0], [-1.397, -1.708, 0.0], [0.0, 1.0, 0.0]),
         screen_window=((-1.0, -1.0), (1.0, 1.0)),
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
         film=film, convention=convention,

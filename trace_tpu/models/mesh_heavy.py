@@ -61,9 +61,12 @@ def build_camera(resolution: int = 512, filename: str = "terrain.png",
         filename=filename,
     )
     # Frame the 20x20 terrain + sphere under the reference-faithful
-    # telephoto projection: distance ~1200, aim below the centroid.
+    # telephoto projection (incl. the wrong-order-inverse window shift):
+    # distance ~1200, aim solved numerically through the actual ray
+    # generator to center the terrain.
     return PerspectiveCamera(
-        T.look_at([0.0, 400.0, 1100.0], [0.0, -22.0, 0.0], [0.0, 1.0, 0.0]),
+        T.look_at([0.0, 400.0, 1100.0], [-11.681, -12.619, 0.0],
+                  [0.0, 1.0, 0.0]),
         screen_window=((-1.0, -1.0), (1.0, 1.0)),
         lens_radius=0.0, focal_distance=1e6, fov=90.0,
         film=film, convention=convention,

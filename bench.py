@@ -351,9 +351,43 @@ def _run_configs_isolated(extras, errors):
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
 
+def _axon_relay_down():
+    """3-second socket probe of the axon TPU relay (127.0.0.1:8083, the
+    stateless jax.devices() port). When the relay service is down, any
+    JAX op on the axon backend hangs FOREVER (the client retries in a
+    loop) — observed multi-hour outages — so bench must fail fast with a
+    parseable artifact instead of eating the driver's whole timeout.
+    Only consulted when the axon plugin would actually register."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return False
+    import socket
+
+    s = socket.socket()
+    s.settimeout(3)
+    try:
+        s.connect(("127.0.0.1", 8083))
+        return False
+    except OSError:
+        return True
+    finally:
+        s.close()
+
+
 def main():
     extras = {}
     errors = {}
+    if _axon_relay_down():
+        print(json.dumps({
+            "metric": "bench_failed",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "extras": {"errors": {"all": "axon TPU relay down "
+                                  "(127.0.0.1:8083 connection refused)"}},
+        }))
+        return
     if os.environ.get("BENCH_INLINE"):
         _run_configs_inline(extras, errors)
     else:

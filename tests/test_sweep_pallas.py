@@ -59,6 +59,32 @@ def test_sweep_kernel_matches_brute_force():
     assert agree.mean() > 0.99
 
 
+def test_sweep_kernel_pipelined_bit_identical():
+    # The double-buffered (DMA-prefetch) kernel variant must produce
+    # bit-identical hits to the single-buffer kernel: same demand order,
+    # same epilogue, only the copy/compute overlap differs.
+    tris = _soup(600, seed=41)
+    o, d = _rays(260, seed=42)
+    t_max = jnp.full(260, jnp.inf)
+    accel = CL.build_clusters(tris, leaf_tris=16)
+    base = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                  ray_chunk=512, interpret=True)
+    pipe = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                  ray_chunk=512, interpret=True,
+                                  pipeline=True)
+    h0, t0, i0 = base._chunked(o, d, t_max, False)
+    h1, t1, i1 = pipe._chunked(o, d, t_max, False)
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # any-hit leg too (different cond)
+    ts = jnp.full(260, 5.0)
+    np.testing.assert_array_equal(
+        np.asarray(base._chunked(o, d, ts, True)[0]),
+        np.asarray(pipe._chunked(o, d, ts, True)[0]),
+    )
+
+
 def test_sweep_kernel_any_hit():
     tris = _soup(500, seed=13)
     o, d = _rays(257, seed=14)

@@ -175,6 +175,115 @@ def _sweep_kernel(any_hit, n_supers,
     )
 
 
+def _sweep_kernel_pipelined(any_hit, n_supers,
+                            idx_ref, suffix_ref,     # SMEM per block
+                            rays_ref,                 # VMEM [16, B]
+                            panel_hbm, tid_hbm,       # HBM full tables
+                            bt_out, bi_out,           # VMEM [8, B] outputs
+                            panel_buf, tid_buf, sem, sem_i):
+    """Double-buffered variant of :func:`_sweep_kernel`: while the MXU
+    evaluates super ``s``'s panel, the DMA engine already pulls super
+    ``s+1``'s into the other buffer slot, hiding the HBM latency behind
+    compute. Same demand order / suffix early-out / epilogue; the panel
+    prefetched past the last executed step is drained after the loop
+    (idx rows are zero-padded, so the overshoot index is always valid)."""
+    b = rays_ref.shape[1]
+    o_x, o_y, o_z = rays_ref[0, :], rays_ref[1, :], rays_ref[2, :]
+    d_x, d_y, d_z = rays_ref[3, :], rays_ref[4, :], rays_ref[5, :]
+    m_x, m_y, m_z = rays_ref[6, :], rays_ref[7, :], rays_ref[8, :]
+    t_lim = rays_ref[9, :]
+
+    o_m = jnp.stack([o_x, o_y, o_z], axis=0)
+    d_m = jnp.stack([d_x, d_y, d_z], axis=0)
+    m_m = jnp.stack([m_x, m_y, m_z], axis=0)
+
+    def mm(a, rhs):
+        return jax.lax.dot_general(
+            a, rhs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def start(slot, s):
+        sid = idx_ref[0, s]
+        pltpu.make_async_copy(
+            panel_hbm.at[sid], panel_buf.at[slot], sem.at[slot]
+        ).start()
+        pltpu.make_async_copy(
+            tid_hbm.at[sid], tid_buf.at[slot], sem_i.at[slot]
+        ).start()
+
+    def wait(slot):
+        sid0 = idx_ref[0, 0]  # shape donor only; wait is by semaphore
+        pltpu.make_async_copy(
+            panel_hbm.at[sid0], panel_buf.at[slot], sem.at[slot]
+        ).wait()
+        pltpu.make_async_copy(
+            tid_hbm.at[sid0], tid_buf.at[slot], sem_i.at[slot]
+        ).wait()
+
+    def body(state):
+        s, best_t, best_i = state
+        slot = jax.lax.rem(s, 2)
+        # Prefetch s+1 into the other slot (its previous occupant was
+        # consumed by iteration s-1). s+1 <= n_supers < s_pad: in-range,
+        # and a zero pad id is a valid panel row.
+        start(1 - slot, s + 1)
+        wait(slot)
+
+        n_p = panel_buf[slot, 0:3, :]
+        e1_p = panel_buf[slot, 3:6, :]
+        e2_p = panel_buf[slot, 6:9, :]
+        w_p = panel_buf[slot, 9:12, :]
+        q_p = panel_buf[slot, 12:15, :]
+        v0n = panel_buf[slot, 15:16, :]
+        tid = tid_buf[slot, 0:1, :]
+
+        det = -mm(d_m, n_p)
+        u_det = mm(m_m, e2_p) - mm(d_m, w_p)
+        v_det = -mm(m_m, e1_p) - mm(d_m, q_p)
+        t_det = mm(o_m, n_p) - v0n
+        core_ok, t = mt_epilogue(det, u_det, v_det, t_det)
+        limit = jnp.minimum(best_t, t_lim)[:, None]
+        ok = core_ok & (t < limit) & (tid >= 0)
+        t = jnp.where(ok, t, jnp.inf)
+        tmin = jnp.min(t, axis=1)
+        ids = jnp.min(
+            jnp.where(t <= tmin[:, None], tid, jnp.int32(0x7FFFFFFF)),
+            axis=1,
+        )
+        better = tmin < best_t
+        best_t = jnp.where(better, tmin, best_t)
+        best_i = jnp.where(better, ids, best_i)
+        return (s + 1, best_t, best_i)
+
+    def cond(state):
+        s, best_t, best_i = state
+        if any_hit:
+            lane_limit = jnp.where(best_t <= t_lim, -jnp.inf, t_lim)
+        else:
+            lane_limit = jnp.minimum(best_t, t_lim)
+        return (s < n_supers) & (suffix_ref[0, s] < jnp.max(lane_limit))
+
+    start(0, 0)
+    init = (
+        jnp.int32(0),
+        jnp.full((b,), jnp.inf, F32),
+        jnp.full((b,), jnp.int32(0x7FFFFFFF)),
+    )
+    s_exit, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    # Drain the one outstanding prefetch (for step s_exit; when the loop
+    # never ran, that is the pre-loop start(0, 0)).
+    wait(jax.lax.rem(s_exit, 2))
+    found = best_i != jnp.int32(0x7FFFFFFF)
+    bt_out[:, :] = jnp.broadcast_to(
+        jnp.where(found, best_t, jnp.inf)[None, :], bt_out.shape
+    )
+    bi_out[:, :] = jnp.broadcast_to(
+        jnp.where(found, best_i, -1)[None, :], bi_out.shape
+    )
+
+
 class PallasSweepAccelerator:
     """Scene accelerator driving the sparse sweep kernel (same interface
     as accel.clusters.ClusterAccelerator). Triangle tables live in HBM;
@@ -182,13 +291,15 @@ class PallasSweepAccelerator:
 
     def __init__(self, accel: ClusterAccel, group: int = 8,
                  block_rays: int = 512, ray_chunk: int = 16384,
-                 sort_rays: bool = True, interpret: bool = False):
+                 sort_rays: bool = True, interpret: bool = False,
+                 pipeline: bool = False):
         self.clusters = accel
         self.tables = SweepTables(accel, group)
         self.block_rays = int(block_rays)
         self.ray_chunk = int(ray_chunk)
         self.sort_rays = bool(sort_rays)
         self.interpret = bool(interpret)
+        self.pipeline = bool(pipeline)
         lo = self.tables.s_lo.min(axis=0)
         hi = self.tables.s_hi.max(axis=0)
         self._world_lo = lo
@@ -262,7 +373,24 @@ class PallasSweepAccelerator:
         rays = jnp.pad(pack, ((0, 0), (0, RAY_ROWS - 10), (0, 0)))
 
         gl = tb.gl_pad
-        kernel = functools.partial(_sweep_kernel, any_hit, s_count)
+        if self.pipeline:
+            kernel = functools.partial(
+                _sweep_kernel_pipelined, any_hit, s_count
+            )
+            scratch = [
+                pltpu.VMEM((2, 16, gl), jnp.float32),
+                pltpu.VMEM((2, 8, gl), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            kernel = functools.partial(_sweep_kernel, any_hit, s_count)
+            scratch = [
+                pltpu.VMEM((16, gl), jnp.float32),
+                pltpu.VMEM((8, gl), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ]
         bt, bi = pl.pallas_call(
             kernel,
             grid=(nb,),
@@ -286,12 +414,7 @@ class PallasSweepAccelerator:
                 jax.ShapeDtypeStruct((nb * 8, b), F32),
                 jax.ShapeDtypeStruct((nb * 8, b), jnp.int32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((16, gl), jnp.float32),
-                pltpu.VMEM((8, gl), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            scratch_shapes=scratch,
             interpret=self.interpret,
         )(
             order,
@@ -358,7 +481,8 @@ class PallasSweepAccelerator:
 
 def attach(scene, leaf_tris: int = 64, group: int = 8,
            max_prims_per_leaf: int = 4, block_rays: int = 512,
-           ray_chunk: int = 16384, interpret: bool | None = None):
+           ray_chunk: int = 16384, interpret: bool | None = None,
+           pipeline: bool = False):
     """Install the Pallas sparse-sweep accelerator. ``interpret`` None ->
     auto: Mosaic on TPU, the Pallas interpreter elsewhere (CPU tests)."""
     if scene.n_triangles == 0:
@@ -370,6 +494,6 @@ def attach(scene, leaf_tris: int = 64, group: int = 8,
     scene.bump_version()
     scene.accel = PallasSweepAccelerator(
         accel, group=group, block_rays=block_rays, ray_chunk=ray_chunk,
-        interpret=interpret,
+        interpret=interpret, pipeline=pipeline,
     )
     return scene

@@ -134,11 +134,15 @@ def bench_sppm_caustic():
     scene = build_scene()
     camera = build_camera(resolution=1024,
                           filename="/tmp/bench_caustic.png")
-    # BENCH_SPPM_FUSED=k (k>0): one dispatch per k iterations instead of
-    # ~10 per iteration. Opt-in until the capped fused path has a clean
-    # validation run at flagship scale on the current relay (unbounded
-    # blocks faulted the TPU runtime in round 1). 0/unset disables.
-    fused_k = int(os.environ.get("BENCH_SPPM_FUSED") or 0)
+    # Default: fused_block=1 — ONE dispatch per full five-phase
+    # iteration, dispatches pipelined (no host sync between blocks).
+    # Validated at flagship scale (100 iterations, 1024², finite image);
+    # blocks ≥2 fault the TPU runtime at this program size whether
+    # looped or unrolled (see SPPMIntegrator.__init__ notes), so 1 is
+    # both the safe and the fast setting. BENCH_SPPM_FUSED overrides:
+    # 0 = stepwise (~10 dispatches/iteration), k>0 = block length k.
+    fused_env = os.environ.get("BENCH_SPPM_FUSED")
+    fused_k = int(fused_env) if fused_env is not None else 1
     integ = SPPMIntegrator(
         camera, initial_search_radius=0.075, max_depth=8,
         n_iterations=100, photons_per_iteration=1 << 18,

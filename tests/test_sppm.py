@@ -216,12 +216,13 @@ def test_fused_iteration_blocks_match_stepwise():
 
     scene = build_scene()
 
-    def run(fused, fused_block=8):
+    def run(fused, fused_block=8, fused_unroll=False):
         cam = build_camera(resolution=16, filename="/tmp/sppm_f.png")
         integ = SPPMIntegrator(
             cam, initial_search_radius=0.3, max_depth=2, n_iterations=5,
             photons_per_iteration=256, pixel_chunk=128,
             fused_iterations=fused, fused_block=fused_block,
+            fused_unroll=fused_unroll,
         )
         st = integ.render(scene)
         return np.asarray(integ.to_image(st, 5))
@@ -232,6 +233,17 @@ def test_fused_iteration_blocks_match_stepwise():
     # bit-compatibly — state threads through, keys stay iteration-keyed.
     np.testing.assert_allclose(
         run(True, fused_block=2), stepwise, rtol=1e-6, atol=1e-7
+    )
+    # fused_block=1 is the flagship-scale configuration (one whole
+    # iteration per dispatch, dispatches pipelined): same results.
+    np.testing.assert_allclose(
+        run(True, fused_block=1), stepwise, rtol=1e-6, atol=1e-7
+    )
+    # The unrolled (straight-line XLA) form of a block must match the
+    # fori_loop form — it exists to isolate the program-size fault.
+    np.testing.assert_allclose(
+        run(True, fused_block=2, fused_unroll=True), stepwise,
+        rtol=1e-6, atol=1e-7,
     )
 
 

@@ -134,7 +134,8 @@ class SPPMIntegrator:
                  pixel_chunk: int = 1 << 16, pair_chunk: int = 1 << 19,
                  seed: int = 0, stats=None, mesh=None,
                  shard_axis: str = "photons", shard_camera: bool = False,
-                 fused_iterations: bool = False, fused_block: int = 8):
+                 fused_iterations: bool = False, fused_block: int = 8,
+                 fused_unroll: bool = False):
         self.stats = stats
         self.mesh = mesh            # jax.sharding.Mesh -> SPMD photon/pair
         self.shard_axis = shard_axis
@@ -160,11 +161,25 @@ class SPPMIntegrator:
         # verified bit-exact vs stepwise on CPU (tested). Long unbounded
         # blocks fault the TPU runtime through the relay (round-1
         # isolation: 3-iteration blocks ran, 100-iteration blocks died),
-        # so render() caps each dispatch at ``fused_block`` iterations —
-        # the round-2 on-chip bisect (PARITY.md notes) found capped
-        # blocks stable where monolithic ones faulted.
+        # so render() caps each dispatch at ``fused_block`` iterations.
+        # Round-2 on-chip bisect at FLAGSHIP scale (1024^2, 262k
+        # photons/iter, depth 8): even TWO iteration bodies in one
+        # program fault, whether expressed as a fori_loop or unrolled
+        # straight-line XLA — the trigger is program size, not the loop
+        # construct. fused_block=1 (one whole iteration per dispatch) is
+        # stable at any scale and, because render() never syncs between
+        # blocks, the ~100 dispatches pipeline asynchronously through
+        # the relay — measured ~6x faster per iteration than the
+        # stepwise path (~10 dispatches/iteration). Use fused_block=1
+        # for large frames; bigger blocks only help small frames where
+        # the program fits.
         self.fused_iterations = bool(fused_iterations)
         self.fused_block = max(1, int(fused_block))
+        # Unroll the iteration block into straight-line XLA instead of a
+        # device fori_loop (compile time grows ~linearly with
+        # fused_block). Diagnostic knob from the flagship-scale fault
+        # isolation above; equivalence-tested vs the loop form.
+        self.fused_unroll = bool(fused_unroll)
 
     # ------------------------------------------------------------------
     # Phase 1: camera pass
@@ -840,6 +855,10 @@ class SPPMIntegrator:
             st = SPPMState(st.ld, st.tau, st.radius, st.n, phi, m_cnt)
             return self._update_pixels(st, ld_add)
 
+        if self.fused_unroll:
+            for k in range(n_iters):
+                state = body(jnp.int32(k), state)
+            return state
         return jax.lax.fori_loop(0, n_iters, body, state)
 
     @functools.partial(jax.jit, static_argnums=(0, 1, 3, 9))

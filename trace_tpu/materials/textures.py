@@ -142,3 +142,168 @@ class BilerpTexture(Texture):
 def clamp_texture(v, low=0.0, high=jnp.inf):
     """The reference clamps every evaluated texture (material.jl `clamp`)."""
     return jnp.clip(v, low, high)
+
+
+# ---------------------------------------------------------------------------
+# Image textures with mip-mapping (beyond the reference: textures/basic.jl
+# stops at BilerpTexture — "no image texture, no mip-mapping" per SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_resize(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Host bilinear resample of [H, W, C] to [nh, nw, C] (texel centers)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(nh, dtype=np.float64) + 0.5) * h / nh - 0.5
+    xs = (np.arange(nw, dtype=np.float64) + 0.5) * w / nw - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0][:, x0] * (1 - fy) * (1 - fx) + img[y0][:, x1] * (1 - fy) * fx
+    b = img[y1][:, x0] * fy * (1 - fx) + img[y1][:, x1] * fy * fx
+    return (a + b).astype(np.float32)
+
+
+class MipMap:
+    """Image pyramid with trilinear filtered lookups, PBRT-style (the
+    screen-space footprint from the ray differentials picks the level).
+
+    TPU shape: every level is packed into ONE flat host ``[T, C]`` table
+    (plus tiny per-level ``dims``/``offsets`` tables), so a per-lane lookup
+    at a *traced* level index is 4 dynamic-gather rows per level — no
+    per-level Python branching, no device-resident state (host arrays embed
+    into the executable for free; see ARCHITECTURE §5b).
+
+    ``wrap``: "repeat" | "clamp" | "black". ``gamma=True`` sRGB-decodes
+    8-bit inputs to linear radiance.
+    """
+
+    def __init__(self, image, wrap: str = "repeat", gamma: bool = False):
+        assert wrap in ("repeat", "clamp", "black"), wrap
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        img = img.astype(np.float32)
+        if gamma:
+            img = np.where(
+                img <= 0.04045, img / 12.92,
+                ((img + 0.055) / 1.055) ** 2.4,
+            ).astype(np.float32)
+        self.is_spectral = img.ndim == 3
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[-1] == 4:  # drop alpha
+            img = img[..., :3]
+        h, w = img.shape[:2]
+        ph = 1 << max(h - 1, 0).bit_length()
+        pw = 1 << max(w - 1, 0).bit_length()
+        if (ph, pw) != (h, w):  # resample up to powers of two (pbrt 10.4)
+            img = _bilinear_resize(img, ph, pw)
+        levels = [img]
+        while levels[-1].shape[0] > 1 or levels[-1].shape[1] > 1:
+            prev = levels[-1]
+            hh = max(prev.shape[0] // 2, 1)
+            ww = max(prev.shape[1] // 2, 1)
+            r = prev.reshape(
+                hh, prev.shape[0] // hh, ww, prev.shape[1] // ww, -1
+            )
+            levels.append(r.mean(axis=(1, 3), dtype=np.float32))
+        self.wrap = wrap
+        self.n_levels = len(levels)
+        # Host (numpy) tables — device copies of these as attributes would
+        # be read back at trace time (relay poison, ConstantTexture note).
+        self.dims = np.array(
+            [[l.shape[0], l.shape[1]] for l in levels], np.int32
+        )
+        sizes = [l.shape[0] * l.shape[1] for l in levels]
+        self.offsets = np.cumsum([0] + sizes[:-1]).astype(np.int32)
+        self.texels = np.concatenate(
+            [l.reshape(-1, l.shape[-1]) for l in levels], axis=0
+        )
+
+    def _bilerp_level(self, lvl, s, t):
+        """Bilinear lookup of [N] (s, t) at per-lane level indices [N]."""
+        hw = jnp.asarray(self.dims)[lvl].astype(F32)      # [N, 2]
+        h, w = hw[..., 0], hw[..., 1]
+        off = jnp.asarray(self.offsets)[lvl]              # [N]
+        x = s * w - 0.5
+        y = t * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+
+        def texel(xi, yi):
+            if self.wrap == "repeat":
+                xi = xi - jnp.floor(xi / w) * w
+                yi = yi - jnp.floor(yi / h) * h
+                valid = None
+            elif self.wrap == "black":
+                valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            else:
+                valid = None
+            xi = jnp.clip(xi, 0.0, w - 1.0)
+            yi = jnp.clip(yi, 0.0, h - 1.0)
+            flat = off + (yi * w + xi).astype(jnp.int32)
+            v = jnp.take(jnp.asarray(self.texels), flat, axis=0)
+            if valid is not None:
+                v = v * valid[..., None].astype(F32)
+            return v
+
+        v = (
+            ((1 - fx) * (1 - fy))[..., None] * texel(x0, y0)
+            + (fx * (1 - fy))[..., None] * texel(x0 + 1, y0)
+            + ((1 - fx) * fy)[..., None] * texel(x0, y0 + 1)
+            + (fx * fy)[..., None] * texel(x0 + 1, y0 + 1)
+        )
+        return v
+
+    def lookup(self, st, dstdx, dstdy):
+        """Trilinear lookup: [N, 2] st + screen-space differentials ->
+        [N, 3] (spectral) or [N] (scalar)."""
+        s, t = st[..., 0], st[..., 1]
+        width = jnp.maximum(
+            jnp.max(jnp.abs(dstdx), axis=-1),
+            jnp.max(jnp.abs(dstdy), axis=-1),
+        )
+        lvl = (self.n_levels - 1) + jnp.log2(jnp.maximum(width, 1e-8))
+        lvl = jnp.clip(lvl, 0.0, float(self.n_levels - 1))
+        l0 = jnp.floor(lvl).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, self.n_levels - 1)
+        f = (lvl - l0.astype(F32))[..., None]
+        v = (1.0 - f) * self._bilerp_level(l0, s, t)
+        v = v + f * self._bilerp_level(l1, s, t)
+        if not self.is_spectral:
+            return v[..., 0]
+        return v
+
+
+class ImageTexture(Texture):
+    """Mip-mapped image lookup through a 2D mapping (beyond-reference)."""
+
+    def __init__(self, mapping, mipmap, scale: float = 1.0):
+        self.mapping = mapping
+        self.mip = mipmap if isinstance(mipmap, MipMap) else MipMap(mipmap)
+        self.scale = float(scale)
+        self.is_spectral = self.mip.is_spectral
+
+    def __call__(self, hit):
+        st, dstdx, dstdy = self.mapping(hit)
+        v = self.mip.lookup(st, dstdx, dstdy)
+        return v * self.scale if self.scale != 1.0 else v
+
+
+def image_texture(path: str, mapping=None, wrap: str = "repeat",
+                  gamma: bool = True, scale: float = 1.0) -> ImageTexture:
+    """Load a PNG into a mip-mapped :class:`ImageTexture` (8-bit PNGs are
+    sRGB-decoded to linear by default)."""
+    from ..io.png import read_png
+
+    img = read_png(path)
+    return ImageTexture(
+        mapping if mapping is not None else UVMapping2D(),
+        MipMap(img, wrap=wrap, gamma=gamma),
+        scale=scale,
+    )

@@ -1,0 +1,266 @@
+"""Environment (INFINITE) light tests — capability beyond the reference
+(which has no infinite lights; le(si) = 0, surface_interaction.jl:149).
+Covers the packed env tables, alias-table sampling, pdf normalization,
+sample/pdf consistency, escaped-ray lookup, and integrator furnace checks.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trace_tpu.core import transform as T
+from trace_tpu.core.ray import RayDifferentials
+from trace_tpu.lights import lights as L
+from trace_tpu.materials.materials import MatteMaterial
+from trace_tpu.integrators import path as path_mod
+from trace_tpu.integrators import whitted as whitted_mod
+from trace_tpu.scene import SceneBuilder
+
+F32 = jnp.float32
+
+
+def _rays(origins, directions):
+    origins = np.asarray(origins, np.float32)
+    directions = np.asarray(directions, np.float32)
+    n = origins.shape[0]
+    z3 = jnp.zeros((n, 3), F32)
+    return RayDifferentials(
+        o=jnp.asarray(origins, F32), d=jnp.asarray(directions, F32),
+        t_max=jnp.full((n,), jnp.inf, F32),
+        time=jnp.zeros((n,), F32), has_differentials=jnp.zeros((n,), bool),
+        rx_origin=z3, ry_origin=z3, rx_direction=z3, ry_direction=z3,
+    )
+
+
+def _image(h, w, seed=0, lo=0.2, hi=2.0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(lo, hi, size=(h, w, 3)).astype(np.float32)
+
+
+def test_pack_image_env_tables():
+    img = _image(8, 16)
+    lights = L.pack_lights([L.infinite_light(image=img)])
+    assert L.has_env(lights)
+    k = 8 * 16
+    assert lights.env_rgb.shape == (k, 3)
+    assert lights.env_pmf.shape == (k,)
+    np.testing.assert_allclose(lights.env_pmf.sum(), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(lights.env_rgb).reshape(8, 16, 3), img, rtol=1e-6
+    )
+    # `i` carries the image mean; power = pi * wr^2 * mean.
+    lights = L.preprocess(lights, np.zeros(3), 2.0)
+    np.testing.assert_allclose(
+        np.asarray(L.power(lights))[0],
+        np.pi * 4.0 * img.reshape(-1, 3).mean(axis=0), rtol=1e-5,
+    )
+
+
+def test_pack_without_env_has_dummy_tables():
+    lights = L.pack_lights([L.point_light(T.identity(), (1.0, 1.0, 1.0))])
+    assert not L.has_env(lights)
+    assert lights.env_pmf.shape == (1,)
+
+
+def test_constant_env_forced_to_two_texels():
+    lights = L.pack_lights([L.infinite_light(radiance=(0.7, 0.7, 0.7))])
+    assert L.has_env(lights)  # shape-gate requires K >= 2
+    np.testing.assert_allclose(np.asarray(lights.env_rgb), 0.7, rtol=1e-6)
+
+
+def test_alias_table_reproduces_pmf():
+    img = _image(2, 4, seed=1)
+    lights = L.pack_lights([L.infinite_light(image=img)])
+    lt = jax.tree.map(jnp.asarray, lights)
+    k = lt.env_pmf.shape[0]
+    m_samples = k * 4096
+    u = (np.arange(m_samples, dtype=np.float64) + 0.5) / m_samples
+    cell, u2 = L._env_sample_cell(lt, jnp.asarray(u, F32))
+    freq = np.bincount(np.asarray(cell), minlength=k) / m_samples
+    np.testing.assert_allclose(freq, np.asarray(lt.env_pmf), atol=1.5e-3)
+    u2 = np.asarray(u2)
+    assert (u2 >= 0).all() and (u2 < 1).all()
+
+
+def test_env_pdf_integrates_to_one():
+    img = _image(8, 16, seed=2)
+    lights = jax.tree.map(
+        jnp.asarray, L.pack_lights([L.infinite_light(image=img)])
+    )
+    # Texel-centered (theta, phi) quadrature: pdf * sin(theta) is piecewise
+    # constant per texel, so a per-texel-centered grid integrates exactly.
+    gh, gw = 8 * 4, 16 * 4
+    theta = (np.arange(gh) + 0.5) * np.pi / gh
+    phi = (np.arange(gw) + 0.5) * 2 * np.pi / gw
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    wl = np.stack(
+        [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)],
+        axis=-1,
+    ).reshape(-1, 3)
+    st, cell = L._env_uv_cell(lights, jnp.asarray(wl, F32))
+    pdf = L._env_pdf(lights, cell, st)
+    integral = float(
+        jnp.sum(pdf * jnp.sin(jnp.asarray(tt.reshape(-1), F32)))
+        * (np.pi / gh) * (2 * np.pi / gw)
+    )
+    assert integral == pytest.approx(1.0, rel=2e-3)
+
+
+def test_env_sample_pdf_consistency():
+    img = _image(4, 8, seed=3)
+    lights = jax.tree.map(
+        jnp.asarray, L.pack_lights([L.infinite_light(image=img)])
+    )
+    n = 4096
+    u = jax.random.uniform(jax.random.key(0), (n, 2))
+    l2w = jnp.broadcast_to(jnp.eye(4, dtype=F32), (n, 4, 4))
+    wi, rad, pdf = L._env_sample_dir(lights, l2w, u)
+    assert float(jnp.min(pdf)) > 0
+    # Radiance of the sampled cell must match a fresh lookup along wi, and
+    # the pdf must match _env_pdf of that direction (texel-edge float
+    # rounding can flip a handful of lanes into the neighbor cell).
+    st, cell = L._env_uv_cell(lights, wi)
+    pdf2 = L._env_pdf(lights, cell, st)
+    rel = np.asarray(jnp.abs(pdf2 - pdf) / pdf)
+    assert (rel < 1e-3).mean() > 0.99
+    rad2 = np.asarray(lights.env_rgb[cell])
+    match = np.all(np.abs(rad2 - np.asarray(rad)) < 1e-6, axis=-1)
+    assert match.mean() > 0.99
+    # Monte-Carlo furnace: E[Le / pdf] over the sampler = integral of Le
+    # = sum(texel * solid angle).
+    lum = np.asarray(rad).mean()  # just sanity: positive radiance
+    assert lum > 0
+
+
+def test_env_le_texel_lookup():
+    img = np.full((4, 8, 3), 0.25, np.float32)
+    img[1, 2] = (5.0, 6.0, 7.0)
+    lights = L.pack_lights([L.infinite_light(image=img)])
+    theta = (1 + 0.5) * np.pi / 4
+    phi = (2 + 0.5) * 2 * np.pi / 8
+    d = np.array([[np.sin(theta) * np.cos(phi),
+                   np.sin(theta) * np.sin(phi),
+                   np.cos(theta)]], np.float32)
+    le = np.asarray(L.env_le(lights, jnp.asarray(d)))
+    np.testing.assert_allclose(le[0], [5.0, 6.0, 7.0], rtol=1e-5)
+    # A different direction sees the background value.
+    le2 = np.asarray(L.env_le(lights, jnp.asarray([[0.0, 0.0, -1.0]], F32)))
+    np.testing.assert_allclose(le2[0], 0.25, rtol=1e-5)
+
+
+def test_env_sample_le_emits_inward():
+    lights = L.pack_lights([L.infinite_light(radiance=(1.0, 1.0, 1.0))])
+    center = np.array([1.0, 2.0, 3.0], np.float32)
+    lights = L.preprocess(lights, center, 5.0)
+    n = 256
+    le, o, d, n_l, pdf_pos, pdf_dir = L.sample_le(
+        lights, jnp.zeros(n, jnp.int32),
+        jax.random.uniform(jax.random.key(1), (n, 2)),
+        jax.random.uniform(jax.random.key(2), (n, 2)),
+        jnp.zeros(n),
+    )
+    o, d = np.asarray(o), np.asarray(d)
+    # Origins on/outside the scene sphere, directions pointing back toward
+    # the scene side, finite positive pdfs.
+    dist = np.linalg.norm(o - center, axis=-1)
+    assert (dist >= 5.0 - 1e-3).all()
+    assert (np.asarray(pdf_pos) > 0).all() and (np.asarray(pdf_dir) > 0).all()
+    np.testing.assert_allclose(np.asarray(le), 1.0, rtol=1e-5)
+    # Ray from the disk center travels into the scene hemisphere.
+    toward = ((o - center) * d).sum(-1)
+    assert (toward < 1e-3).all()
+
+
+def _env_sphere_scene(albedo, radiance, image=None):
+    b = SceneBuilder()
+    mat = b.material(MatteMaterial(Kd=(albedo,) * 3))
+    b.sphere(T.identity(), 1.0, mat)
+    b.light(L.infinite_light(radiance=radiance, image=image))
+    return b.build(use_bvh=False)
+
+
+def test_whitted_env_background_and_shading():
+    albedo, env_l = 0.5, 0.7
+    scene = _env_sphere_scene(albedo, (env_l,) * 3)
+    rd_bg = _rays([[0.0, 4.0, 5.0]], [[0.0, 0.0, -1.0]])
+    l_bg = np.asarray(
+        whitted_mod.li(scene, rd_bg, jax.random.key(0), max_depth=2)
+    )
+    # Miss lane: exact constant-environment radiance.
+    np.testing.assert_allclose(l_bg[0], env_l, rtol=1e-5)
+    # Sphere lanes: Whitted draws ONE env-light sample per lane, an
+    # unbiased furnace estimate — the lane mean converges to albedo * L.
+    n = 2048
+    o = np.tile(np.array([[0.0, 0.0, 5.0]], np.float32), (n, 1))
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    keys = jax.random.split(jax.random.key(5), n)
+    l = np.asarray(whitted_mod.li(scene, _rays(o, d), keys, max_depth=1))
+    assert np.isfinite(l).all()
+    assert l.mean() == pytest.approx(albedo * env_l, rel=0.06)
+
+
+def test_path_furnace_constant_env():
+    # Convex Lambertian sphere in a constant environment L: every surface
+    # point sees L over its whole hemisphere, so exitant radiance is
+    # exactly albedo * L; background rays see L. Exercises the NEE light
+    # leg + the BSDF-sampling MIS leg against the env pdf.
+    albedo, env_l = 0.6, 0.8
+    scene = _env_sphere_scene(albedo, (env_l,) * 3)
+    n = 2048
+    o = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    rd = _rays(o, d)
+    keys = jax.random.split(jax.random.key(7), n)
+    l = np.asarray(path_mod.li(scene, rd, keys, max_depth=2))
+    assert np.isfinite(l).all()
+    mean = l.mean()
+    assert mean == pytest.approx(albedo * env_l, rel=0.05)
+    # Background lanes are exact.
+    rd_bg = _rays([[0.0, 5.0, 3.0]], [[0.0, 0.0, -1.0]])
+    l_bg = np.asarray(path_mod.li(scene, rd_bg, jax.random.key(0), max_depth=2))
+    np.testing.assert_allclose(l_bg[0], env_l, rtol=1e-5)
+
+
+def test_env_studio_scene_renders():
+    # The env-lit example scene end-to-end at thumbnail size: finite,
+    # non-black, with visible sky in the background lanes.
+    from trace_tpu.models.env_studio import build_scene, build_camera
+    from trace_tpu.integrators.path import PathIntegrator
+    from trace_tpu.sampler.uniform import UniformSampler
+
+    scene = build_scene()
+    cam = build_camera(resolution=24, filename="/tmp/env_studio_test.png")
+    integ = PathIntegrator(cam, UniformSampler(2), max_depth=3,
+                           pixel_chunk=1 << 10)
+    state = integ.render(scene)
+    img = np.asarray(cam.film.to_image(state))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05 and img.mean() > 0.01
+
+
+def test_path_furnace_image_env():
+    # Same furnace identity with a strongly non-uniform image environment:
+    # exitant radiance from a convex white sphere equals albedo times the
+    # cosine-weighted irradiance/pi; MIS must keep the estimator unbiased
+    # and low-variance despite a 50:1 texel contrast.
+    img = np.full((8, 16, 3), 0.1, np.float32)
+    img[2, 5] = 5.0  # hot texel
+    albedo = 0.5
+    scene = _env_sphere_scene(albedo, (1.0, 1.0, 1.0), image=img)
+    n = 4096
+    o = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    keys = jax.random.split(jax.random.key(11), n)
+    l = np.asarray(path_mod.li(scene, _rays(o, d), keys, max_depth=2))
+    assert np.isfinite(l).all()
+    # Reference irradiance at the hit point (0,0,1), normal +z (= the env
+    # frame's +z): Le is piecewise constant per texel, so
+    # E = sum_texel Le * dphi * int cos(t) sin(t) dt over the row band —
+    # exact per-row weight (sin^2 t2 - sin^2 t1)/2, clipped to the upper
+    # hemisphere.
+    h, w = 8, 16
+    edges = np.minimum(np.arange(h + 1) * np.pi / h, np.pi / 2)
+    row_w = (np.sin(edges[1:]) ** 2 - np.sin(edges[:-1]) ** 2) / 2
+    e = (img * row_w[:, None, None]).sum(axis=(0, 1)) * (2 * np.pi / w)
+    expected = albedo / np.pi * e
+    np.testing.assert_allclose(l.mean(axis=0), expected, rtol=0.06)

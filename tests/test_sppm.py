@@ -206,6 +206,52 @@ def test_sppm_matches_path_tracer_order_of_magnitude():
     assert 0.6 < ratio < 1.7, (mean_sp, mean_pt, ratio)
 
 
+def test_sppm_env_light_matches_path_tracer():
+    """Environment-light physics cross-check: a diffuse box OPEN toward
+    +z under a constant sky. Env photons enter through the opening
+    (lights.sample_le world-radius-disk emission) and bounce inside;
+    SPPM's progressive estimate must land near the path-traced solution.
+    Exercises env NEE + MIS (camera pass) and env photon emission + grid
+    splats end-to-end."""
+    from trace_tpu.scene import SceneBuilder
+    from trace_tpu.core import transform as T
+    from trace_tpu.materials.materials import MatteMaterial
+    from trace_tpu.lights.lights import infinite_light
+    from trace_tpu.models.cornell import _quad
+    from trace_tpu.integrators.path import PathIntegrator
+    from trace_tpu.film.film import Film
+    from trace_tpu.film.filters import LanczosSincFilter
+    from trace_tpu.camera.perspective import PerspectiveCamera
+    from trace_tpu.sampler.uniform import UniformSampler
+
+    b = SceneBuilder()
+    white = b.material(MatteMaterial(Kd=(0.7, 0.7, 0.7)))
+    _quad(b, [[-1, -1, 1], [1, -1, 1], [1, -1, -1], [-1, -1, -1]], white)
+    _quad(b, [[-1, 1, -1], [1, 1, -1], [1, 1, 1], [-1, 1, 1]], white)
+    _quad(b, [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1]], white)
+    _quad(b, [[-1, -1, 1], [-1, -1, -1], [-1, 1, -1], [-1, 1, 1]], white)
+    _quad(b, [[1, -1, -1], [1, -1, 1], [1, 1, 1], [1, 1, -1]], white)
+    b.light(infinite_light(radiance=(1.5, 1.5, 1.5)))  # open toward +z
+    scene = b.build(use_bvh=False)
+
+    film = Film((12, 12), filter=LanczosSincFilter((1.0, 1.0), 3.0),
+                filename="/tmp/_envbox12.png")
+    cam = PerspectiveCamera(
+        T.look_at([0.0, 0.0, 140.0], [0.0, -2.8, 0.0], [0, 1, 0]), film=film
+    )
+    pt = PathIntegrator(cam, UniformSampler(24, seed=0), max_depth=8,
+                        rr_depth=5)
+    mean_pt = float(np.asarray(cam.film.to_image(pt.render(scene))).mean())
+
+    sp = SPPMIntegrator(cam, initial_search_radius=0.25, max_depth=8,
+                        n_iterations=8, photons_per_iteration=8192, seed=0)
+    st = sp.render(scene)
+    mean_sp = float(np.asarray(sp.to_image(st, 8)).mean())
+    assert mean_pt > 1e-3 and mean_sp > 1e-3, (mean_sp, mean_pt)
+    ratio = mean_sp / mean_pt
+    assert 0.5 < ratio < 2.0, (mean_sp, mean_pt, ratio)
+
+
 def test_fused_iteration_blocks_match_stepwise():
     """_iterations_fused (whole blocks in one dispatch) must reproduce
     the stepwise path exactly — same key schedule and Halton indexing."""

@@ -26,7 +26,7 @@ from .materials.textures import (
     TransformMapping3D, UVMapping2D,
 )
 from .lights.lights import (
-    area_light, distant_light, point_light, spot_light,
+    area_light, distant_light, infinite_light, point_light, spot_light,
 )
 from .sampler.uniform import UniformSampler
 from .sampler.stratified import StratifiedSampler
@@ -43,7 +43,8 @@ __all__ = [
     "PlasticMaterial",
     "BilerpTexture", "ConstantTexture", "MixTexture", "ScaleTexture",
     "TransformMapping3D", "UVMapping2D",
-    "area_light", "distant_light", "point_light", "spot_light",
+    "area_light", "distant_light", "infinite_light", "point_light",
+    "spot_light",
     "UniformSampler", "StratifiedSampler",
     "WhittedIntegrator", "PathIntegrator", "SPPMIntegrator",
     "RenderStats",

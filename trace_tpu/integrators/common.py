@@ -100,8 +100,8 @@ def estimate_direct(scene, hit, lobes, light_idx, u_light, u_scatter,
         0.0,
     )
 
-    # --- BSDF-sampling leg (area lights only) -------------------------------
-    if scene.max_area_tris > 0:
+    # --- BSDF-sampling leg (area + infinite lights) --------------------------
+    if scene.max_area_tris > 0 or light_mod.has_env(scene.lights):
         bs = B.sample_f(lobes, hit.wo, u_scatter, flags)
         spec_sample = (bs.sampled_flags & lb.BSDF_SPECULAR) != 0
         f_b = bs.f * jnp.abs(m.dot(bs.wi, hit.ns))[..., None]
@@ -113,29 +113,43 @@ def estimate_direct(scene, hit, lobes, light_idx, u_light, u_scatter,
         # this MIS leg (energy loss in glossy highlights).
         o = offset_ray_origin(hit.p, bs.wi, hit.n)
         hit2 = scene.intersect(o, bs.wi, jnp.full((n,), jnp.inf, F32))
-        tri_idx = jnp.clip(hit2.prim_id - scene.n_spheres, 0,
-                           max(scene.n_triangles - 1, 0))
-        # Only FLAT triangles can be area lights; instanced prim ids start
-        # at n_spheres + n_triangles (scene.py id layout) and must not
-        # clip onto the last flat triangle's light id.
-        is_flat_tri = (hit2.prim_id >= scene.n_spheres) & (
-            hit2.prim_id < scene.n_spheres + scene.n_triangles
-        )
-        hits_light = (
-            hit2.valid
-            & is_flat_tri
-            & (jnp.asarray(scene.tri_light_id)[tri_idx] == light_idx)
-        )
         cos_l = m.dot(hit2.n, -bs.wi)
+        # pdf_li dispatches on the picked light's kind: solid-angle area
+        # pdf for AREA lanes, the env-map texel pdf for INFINITE lanes.
         li_pdf = light_mod.pdf_li(
             scene.lights, light_idx, hit.p, bs.wi, hit2.t,
             jnp.abs(cos_l), scene.triangles,
         )
-        le = light_mod.le_area(scene.lights, light_idx, hit2.n, -bs.wi)
+        counts = jnp.zeros((n,), bool)
+        le = jnp.zeros((n, 3), F32)
+        if scene.max_area_tris > 0:
+            tri_idx = jnp.clip(hit2.prim_id - scene.n_spheres, 0,
+                               max(scene.n_triangles - 1, 0))
+            # Only FLAT triangles can be area lights; instanced prim ids
+            # start at n_spheres + n_triangles (scene.py id layout) and
+            # must not clip onto the last flat triangle's light id.
+            is_flat_tri = (hit2.prim_id >= scene.n_spheres) & (
+                hit2.prim_id < scene.n_spheres + scene.n_triangles
+            )
+            hits_light = (
+                hit2.valid
+                & is_flat_tri
+                & (jnp.asarray(scene.tri_light_id)[tri_idx] == light_idx)
+            )
+            le_a = light_mod.le_area(scene.lights, light_idx, hit2.n, -bs.wi)
+            le = le + jnp.where(hits_light[..., None], le_a, 0.0)
+            counts = counts | hits_light
+        if light_mod.has_env(scene.lights):
+            # Escaped BSDF rays see the environment when the picked light
+            # is the INFINITE entry (le_inf is 0 on other lanes).
+            escaped = ~hit2.valid
+            le_e = light_mod.le_inf(scene.lights, light_idx, bs.wi)
+            le = le + jnp.where(escaped[..., None], le_e, 0.0)
+            counts = counts | (escaped & ~spec.is_black(le_e))
         w_b = jnp.where(spec_sample, 1.0,
                         m.power_heuristic(1.0, bs.pdf, 1.0, li_pdf))
         lb_leg = jnp.where(
-            (go & hits_light)[..., None],
+            (go & counts)[..., None],
             f_b * le * (w_b / jnp.maximum(bs.pdf, 1e-20))[..., None],
             0.0,
         )

@@ -17,6 +17,7 @@ from ..bxdf import lobes as lb
 from ..core import math as m
 from ..core import spectrum as spec
 from ..core.ray import SPAWN_EPS
+from ..lights import lights as light_mod
 from ..materials.materials import compute_scattering
 from ..sampler import uniform as U
 from ..utils.pytree import replace
@@ -46,6 +47,14 @@ def li(scene, rd, key, max_depth: int = 5, rr_depth: int = 3):
         count_le = live & ((bounce == 0) | specular_bounce)
         le = scene.area_light_radiance(hit, hit.wo)
         l_out = l_out + jnp.where(count_le[:, None], beta * le, 0.0)
+
+        # Escaped rays see the environment light, under the same
+        # camera/specular-vertex policy (non-specular escapes are covered
+        # by NEE's BSDF-sampling MIS leg in estimate_direct).
+        if light_mod.has_env(scene.lights):
+            esc = active & ~hit.valid & ((bounce == 0) | specular_bounce)
+            bg = light_mod.env_le(scene.lights, d)
+            l_out = l_out + jnp.where(esc[:, None], beta * bg, 0.0)
 
         hit = replace(hit, valid=live)
         lobes = compute_scattering(

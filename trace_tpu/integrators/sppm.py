@@ -272,6 +272,12 @@ class SPPMIntegrator:
             le = scene.area_light_radiance(hit, hit.wo)
             emit_mask = live & (specular_bounce | (depth == 1))
             ld = ld + jnp.where(emit_mask[:, None], beta * le, 0.0)
+            # Escaped rays at camera/specular vertices see the environment
+            # light (sppm.jl:210-213's miss branch, identically 0 there).
+            if light_mod.has_env(scene.lights):
+                esc = active & ~hit.valid & (specular_bounce | (depth == 1))
+                bg = light_mod.env_le(scene.lights, d)
+                ld = ld + jnp.where(esc[:, None], beta * bg, 0.0)
             # Direct lighting — intentionally NOT scaled by β, matching the
             # reference (sppm.jl:229-231).
             direct = common.uniform_sample_one_light(

@@ -19,6 +19,7 @@ from ..core import math as m
 from ..core import spectrum as spec
 from ..core.interaction import compute_differentials
 from ..core.ray import RayDifferentials, SPAWN_EPS
+from ..lights import lights as light_mod
 from ..materials.materials import compute_scattering
 from ..sampler import uniform as U
 from ..utils.pytree import replace
@@ -122,6 +123,17 @@ def li(scene, rd: RayDifferentials, key, max_depth: int = 5,
         q_rd = queue["rd"]
         hit = scene.intersect(q_rd.o, q_rd.d, q_rd.t_max, q_rd.time)
         valid = queue["active"] & hit.valid
+        # Escaped rays see the environment light (the reference's miss
+        # branch sums le(light, ray) over lights, sampler.jl:64-67 —
+        # identically 0 there; non-zero for our INFINITE lights).
+        if light_mod.has_env(scene.lights):
+            esc = queue["active"] & ~hit.valid
+            bg = common.sanitize_radiance(
+                queue["beta"] * light_mod.env_le(scene.lights, q_rd.d)
+            )
+            l_buf = l_buf.at[queue["slot"]].add(
+                jnp.where(esc[..., None], bg, 0.0)
+            )
         hit = replace(hit, valid=valid)
         if sort_materials:
             # Shading-coherence reorder: lanes grouped by material before

@@ -25,6 +25,7 @@ POINT = 0
 SPOT = 1
 DISTANT = 2
 AREA = 3
+INFINITE = 4
 
 # Flags (reference light.jl:1-10).
 DELTA_POSITION = 1
@@ -50,10 +51,26 @@ class Lights:
     two_sided: jnp.ndarray       # [L] bool
     world_center: jnp.ndarray    # [3] scene bounding sphere (preprocess)
     world_radius: jnp.ndarray    # [] scalar
+    # Environment (INFINITE) light tables — one per scene, global rather
+    # than per-entry (an equal-rect image doesn't pack into scalar SoA
+    # columns). Scenes without one carry 1-texel dummies.
+    env_rgb: jnp.ndarray         # [K, 3] flat equal-rect radiance texels
+    env_pmf: jnp.ndarray         # [K] texel pick pmf (sin-theta-weighted)
+    env_prob: jnp.ndarray        # [K] alias-table acceptance probability
+    env_alias: jnp.ndarray       # [K] int32 alias-table partner cell
+    env_h: jnp.ndarray           # [] int32 image height
+    env_w: jnp.ndarray           # [] int32 image width
 
 
 def num_lights(l: Lights) -> int:
     return l.kind.shape[0]
+
+
+def has_env(l: Lights) -> bool:
+    """Whether the scene carries an environment light. Shape-based (the
+    dummy tables are 1-texel; pack_lights gives real envs >= 2), so it is
+    safe on TRACED lights pytrees — reading kind values would not be."""
+    return l.env_pmf.shape[0] > 1
 
 
 def is_delta(l: Lights):
@@ -87,8 +104,38 @@ def area_light(radiance, tri_start, tri_count, two_sided=False):
                 tri_count=int(tri_count), two_sided=bool(two_sided))
 
 
+def infinite_light(l2w=None, radiance=(1.0, 1.0, 1.0), image=None):
+    """Image-based environment light (beyond the reference, which has no
+    infinite lights; PBRT InfiniteAreaLight). ``image``: [H, W, 3] linear
+    equal-rect radiance map (rows = theta from the light frame's +z, cols
+    = phi), or None for a constant sky; ``radiance`` scales either. At
+    most one per scene."""
+    img = None if image is None else np.asarray(image, np.float32)
+    return dict(kind=INFINITE, l2w=l2w, i=radiance, image=img)
+
+
 _KIND_FLAGS = {POINT: DELTA_POSITION, SPOT: DELTA_POSITION,
-               DISTANT: DELTA_DIRECTION, AREA: LIGHT_AREA}
+               DISTANT: DELTA_DIRECTION, AREA: LIGHT_AREA,
+               INFINITE: LIGHT_INFINITE}
+
+
+def _alias_table(pmf: np.ndarray):
+    """Vose alias table over a pmf -> (prob [K] f32, alias [K] i32).
+    Sampling is then two O(1) gathers per draw — no per-lane searchsorted
+    (which would materialize an [N, K] compare on TPU)."""
+    k = pmf.size
+    scaled = (pmf * k).astype(np.float64)
+    prob = np.ones(k, np.float64)
+    alias = np.arange(k, dtype=np.int64)
+    small = [i for i in range(k) if scaled[i] < 1.0]
+    large = [i for i in range(k) if scaled[i] >= 1.0]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] -= 1.0 - scaled[s]
+        (small if scaled[l] < 1.0 else large).append(l)
+    return prob.astype(np.float32), alias.astype(np.int32)
 
 
 def pack_lights(entries, tris: tri_mod.Triangles | None = None) -> Lights:
@@ -109,6 +156,12 @@ def pack_lights(entries, tris: tri_mod.Triangles | None = None) -> Lights:
     tri_count = np.zeros(n, np.int32)
     total_area = np.zeros(n, np.float32)
     two_sided = np.zeros(n, bool)
+    # Dummy 1-texel env tables; replaced by an INFINITE entry below.
+    env_rgb = np.zeros((1, 3), np.float32)
+    env_pmf = np.ones(1, np.float32)
+    env_prob = np.ones(1, np.float32)
+    env_alias = np.zeros(1, np.int32)
+    env_h = env_w = 1
 
     tri_areas = None
     # Per-triangle areas are only consumed by area lights; skip the
@@ -141,6 +194,37 @@ def pack_lights(entries, tris: tri_mod.Triangles | None = None) -> Lights:
             total_area[j] = tri_areas[
                 e["tri_start"] : e["tri_start"] + e["tri_count"]
             ].sum()
+        if e["kind"] == INFINITE:
+            assert env_h == 1 and env_rgb.sum() == 0.0, (
+                "at most one infinite light per scene"
+            )
+            img = e.get("image")
+            if img is None:
+                img = np.ones((1, 1, 3), np.float32)
+            img = img * np.asarray(e["i"], np.float32)  # scale folded in
+            if img.shape[0] * img.shape[1] < 2:
+                # >= 2 texels so has_env() can gate on shape alone
+                # (trace-safe); duplicated columns are semantics-neutral.
+                img = np.tile(img, (1, 2, 1))
+            env_h, env_w = int(img.shape[0]), int(img.shape[1])
+            env_rgb = img.reshape(-1, 3).astype(np.float32)
+            # i holds the image's mean radiance (feeds `power`).
+            i[j] = env_rgb.mean(axis=0)
+            # sin-theta-weighted luminance pmf over texels; uniform
+            # fallback for an all-black image keeps pdfs finite.
+            lum = env_rgb @ np.array(
+                [0.212671, 0.715160, 0.072169], np.float32
+            )
+            sin_t = np.sin(
+                np.pi * (np.arange(env_h, dtype=np.float64) + 0.5) / env_h
+            ).astype(np.float32)
+            wgt = (lum.reshape(env_h, env_w)
+                   * sin_t[:, None]).reshape(-1).astype(np.float64)
+            total = wgt.sum()
+            pmf = (wgt / total if total > 0
+                   else np.full(wgt.size, 1.0 / wgt.size))
+            env_pmf = pmf.astype(np.float32)
+            env_prob, env_alias = _alias_table(pmf)
 
     # Numpy leaves until Scene finalization (see triangle.pack_triangle_mesh).
     return Lights(
@@ -150,6 +234,8 @@ def pack_lights(entries, tris: tri_mod.Triangles | None = None) -> Lights:
         tri_start, tri_count,
         total_area, two_sided,
         np.zeros(3, np.float32), np.asarray(0.0, np.float32),
+        env_rgb, env_pmf, env_prob, env_alias,
+        np.asarray(env_h, np.int32), np.asarray(env_w, np.int32),
     )
 
 
@@ -185,6 +271,104 @@ def falloff(g, w):
     f = jnp.clip(d, 0.0, 1.0) ** 4
     f = jnp.where(cos_t < g["cos_total_width"], 0.0, f)
     return jnp.where(cos_t >= g["cos_falloff_start"], 1.0, f)
+
+
+# ---------------------------------------------------------------------------
+# Environment (INFINITE) light machinery — beyond-reference, PBRT
+# InfiniteAreaLight semantics on the SoA light table. The emitter is
+# piecewise-constant per texel (radiance lookup and pick pmf use the SAME
+# texel value), so light-sampling, BSDF-sampling MIS and photon emission
+# are mutually consistent without a blurred distribution.
+# ---------------------------------------------------------------------------
+
+
+def _env_uv_cell(lights, wl):
+    """Light-space unit direction -> (sin_theta [N], cell [N] i32)."""
+    ct = jnp.clip(wl[..., 2], -1.0, 1.0)
+    theta = jnp.arccos(ct)
+    phi = jnp.arctan2(wl[..., 1], wl[..., 0])
+    phi = jnp.where(phi < 0, phi + 2.0 * m.PI, phi)
+    h = lights.env_h.astype(F32)
+    w = lights.env_w.astype(F32)
+    x = jnp.clip(jnp.floor(phi * (0.5 / m.PI) * w), 0.0, w - 1.0)
+    y = jnp.clip(jnp.floor(theta * (1.0 / m.PI) * h), 0.0, h - 1.0)
+    return jnp.sin(theta), (y * w + x).astype(jnp.int32)
+
+
+def _env_pdf(lights, cell, sin_theta):
+    """Solid-angle pdf of the env sampler at a texel: p(u,v) / (2 pi^2
+    sin theta) with p(u,v) = pmf * H * W (PBRT eq. 14.10)."""
+    hw = (lights.env_h * lights.env_w).astype(F32)
+    p = lights.env_pmf[cell] * hw / (
+        2.0 * m.PI * m.PI * jnp.maximum(sin_theta, 1e-9)
+    )
+    return jnp.where(sin_theta > 1e-9, p, 0.0)
+
+
+def _env_sample_cell(lights, u0):
+    """One uniform -> (cell [N] i32, fresh uniform [N]) via the alias
+    table (two gathers; the alias coin is recycled into a fresh uniform
+    by conditional rescale)."""
+    k = lights.env_pmf.shape[0]
+    x = u0 * k
+    c = jnp.clip(jnp.floor(x), 0.0, k - 1.0).astype(jnp.int32)
+    f = x - c.astype(F32)
+    p_c = lights.env_prob[c]
+    take_alias = f >= p_c
+    cell = jnp.where(take_alias, lights.env_alias[c], c)
+    f2 = jnp.where(
+        take_alias,
+        (f - p_c) / jnp.maximum(1.0 - p_c, 1e-9),
+        f / jnp.maximum(p_c, 1e-9),
+    )
+    return cell, jnp.clip(f2, 0.0, 1.0 - 1e-7)
+
+
+def _env_sample_dir(lights, g_l2w, u):
+    """Importance-sample a world direction toward the environment.
+    Returns (wi [N,3] world, radiance [N,3], pdf [N] solid angle)."""
+    cell, fu = _env_sample_cell(lights, u[:, 0])
+    w = lights.env_w.astype(F32)
+    h = lights.env_h.astype(F32)
+    row = jnp.floor(cell.astype(F32) / w)
+    col = cell.astype(F32) - row * w
+    phi = 2.0 * m.PI * (col + fu) / w
+    theta = m.PI * (row + u[:, 1]) / h
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    wl = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+    wi = m.normalize(m.mat3_apply(g_l2w[:, :3, :3], wl))
+    return wi, lights.env_rgb[cell], _env_pdf(lights, cell, st)
+
+
+def env_le(lights, d):
+    """Escaped-ray environment radiance [N, 3] (callers gate on the
+    scene's host-side has_env flag; identically 0 without an env light)."""
+    import jax
+
+    lights = jax.tree.map(jnp.asarray, lights)
+    is_inf = lights.kind == INFINITE
+    rot = jnp.sum(
+        jnp.where(is_inf[:, None, None], lights.w2l, 0.0), axis=0
+    )[:3, :3]
+    wl = m.normalize(m.mat3_apply(rot, m.normalize(d)))
+    st, cell = _env_uv_cell(lights, wl)
+    le = lights.env_rgb[cell]
+    return jnp.where(jnp.any(is_inf), le, jnp.zeros_like(le))
+
+
+def le_inf(lights, idx, wi):
+    """Per-lane env radiance along wi for lanes whose light ``idx`` is the
+    INFINITE entry; 0 elsewhere (the BSDF-sampling MIS leg's Le)."""
+    import jax
+
+    lights = jax.tree.map(jnp.asarray, lights)
+    g_kind = lights.kind[idx]
+    g_w2l = lights.w2l[idx]
+    wl = m.normalize(m.mat3_apply(g_w2l[:, :3, :3], wi))
+    _, cell = _env_uv_cell(lights, wl)
+    return jnp.where(
+        (g_kind == INFINITE)[:, None], lights.env_rgb[cell], 0.0
+    )
 
 
 def _sample_area_point(g, tris: tri_mod.Triangles, u, max_tris: int):
@@ -249,6 +433,18 @@ def sample_li(lights: Lights, idx, p_ref, u, tris=None, max_area_tris: int = 0):
     radiance = jnp.where((kind == DISTANT)[:, None], g["i"], radiance)
     pdf = jnp.ones(n, F32)
 
+    if has_env(lights):
+        import jax
+
+        lt = jax.tree.map(jnp.asarray, lights)
+        wi_e, rad_e, pdf_e = _env_sample_dir(lt, g["l2w"], u)
+        p_e = p_ref + wi_e * (2.0 * lt.world_radius)
+        is_inf = kind == INFINITE
+        wi = jnp.where(is_inf[:, None], wi_e, wi)
+        p_light = jnp.where(is_inf[:, None], p_e, p_light)
+        radiance = jnp.where(is_inf[:, None], rad_e, radiance)
+        pdf = jnp.where(is_inf, pdf_e, pdf)
+
     if max_area_tris > 0 and tris is not None:
         p_a, n_a = _sample_area_point(g, tris, u, max_area_tris)
         to_a = p_a - p_ref
@@ -278,7 +474,17 @@ def pdf_li(lights: Lights, idx, p_ref, wi, hit_t, hit_cos, tris=None):
     g = _gather(lights, idx)
     d2 = hit_t * hit_t * m.length_squared(wi)
     pdf_a = d2 / jnp.maximum(hit_cos * jnp.maximum(g["total_area"], 1e-20), 1e-20)
-    return jnp.where((g["kind"] == AREA) & (hit_cos > 1e-9), pdf_a, 0.0)
+    pdf = jnp.where((g["kind"] == AREA) & (hit_cos > 1e-9), pdf_a, 0.0)
+    if has_env(lights):
+        import jax
+
+        lt = jax.tree.map(jnp.asarray, lights)
+        wl = m.normalize(m.mat3_apply(g["w2l"][:, :3, :3], m.normalize(wi)))
+        st, cell = _env_uv_cell(lt, wl)
+        pdf = jnp.where(
+            g["kind"] == INFINITE, _env_pdf(lt, cell, st), pdf
+        )
+    return pdf
 
 
 def sample_le(lights: Lights, idx, u1, u2, time, tris=None, max_area_tris: int = 0):
@@ -334,6 +540,31 @@ def sample_le(lights: Lights, idx, u1, u2, time, tris=None, max_area_tris: int =
     pdf_dir = jnp.where(is_dist, 1.0, pdf_dir)
 
     n_light = d
+    if has_env(lights):
+        # Env photons: importance-sample a direction TOWARD the light
+        # (sample_li convention), emit from a world-radius disk on that
+        # side traveling back through the scene (PBRT InfiniteAreaLight
+        # Sample_Le, same shape as the DISTANT case above).
+        import jax
+
+        lt = jax.tree.map(jnp.asarray, lights)
+        w_toward, rad_e, pdf_e = _env_sample_dir(lt, g["l2w"], u1)
+        _, ev1, ev2 = m.coordinate_system(w_toward)
+        cd_e = m.concentric_sample_disk(u2)
+        p_disk_e = (
+            wc
+            + wr * (cd_e[:, 0:1] * ev1 + cd_e[:, 1:2] * ev2)
+            + wr * w_toward
+        )
+        is_inf = kind == INFINITE
+        o = jnp.where(is_inf[:, None], p_disk_e, o)
+        d = jnp.where(is_inf[:, None], -w_toward, d)
+        n_light = jnp.where(is_inf[:, None], -w_toward, n_light)
+        le = jnp.where(is_inf[:, None], rad_e, le)
+        pdf_pos = jnp.where(
+            is_inf, 1.0 / jnp.maximum(m.PI * wr * wr, 1e-20), pdf_pos
+        )
+        pdf_dir = jnp.where(is_inf, pdf_e, pdf_dir)
     if max_area_tris > 0 and tris is not None:
         p_a, n_a = _sample_area_point(g, tris, u1, max_area_tris)
         # Two-sided lights emit from both faces (PBRT DiffuseAreaLight
@@ -385,7 +616,10 @@ def power(lights: Lights):
         lights.total_area * m.PI * jnp.where(lights.two_sided, 2.0, 1.0)
     )[..., None]
     out = jnp.where((lights.kind == SPOT)[:, None], p_spot, p_point)
-    out = jnp.where((lights.kind == DISTANT)[:, None], p_dist, out)
+    # INFINITE power = pi * wr^2 * mean radiance (PBRT InfiniteAreaLight;
+    # pack_lights stores the image mean in `i`) — same form as DISTANT.
+    is_far = (lights.kind == DISTANT) | (lights.kind == INFINITE)
+    out = jnp.where(is_far[:, None], p_dist, out)
     return jnp.where((lights.kind == AREA)[:, None], p_area, out)
 
 

@@ -242,6 +242,125 @@ def test_instanced_geometry_in_sppm():
     assert img.max() > 0.0  # instanced surfaces receive light
 
 
+def _sphere_instance_pair(n_side=5, clipped=True):
+    """(instanced scene, flattened scene): n_side^2 copies of one (clipped)
+    sphere on a grid. Flattening composes each instance transform into the
+    sphere's own object_to_world — the exact equivalence oracle."""
+    base_xf = T.compose(T.rotate_x(30.0), T.scale(1.0, 1.0, 1.3))
+    entry = dict(object_to_world=base_xf, radius=0.6, material_id=0)
+    if clipped:
+        entry.update(z_min=-0.45, z_max=0.5, phi_max=300.0)
+    trs = [
+        T.translate([1.6 * i - 0.8 * n_side, 0.9 * j - 0.45 * n_side, -6.0])
+        for i in range(n_side) for j in range(n_side)
+    ]
+
+    bi = SceneBuilder()
+    mat = bi.material(MatteMaterial(Kd=(0.6, 0.5, 0.4)))
+    bi.instanced_spheres([dict(entry, material_id=mat)], trs)
+    bi.light(L.point_light(T.translate([0.0, 6.0, 2.0]), (80.0,) * 3))
+    inst = bi.build()
+
+    bf = SceneBuilder()
+    mat = bf.material(MatteMaterial(Kd=(0.6, 0.5, 0.4)))
+    for t in trs:
+        bf.sphere(T.compose(t, base_xf), entry["radius"], mat,
+                  **{k: v for k, v in entry.items()
+                     if k in ("z_min", "z_max", "phi_max")})
+    bf.light(L.point_light(T.translate([0.0, 6.0, 2.0]), (80.0,) * 3))
+    flat = bf.build(use_bvh=False)
+    return inst, flat
+
+
+@pytest.mark.parametrize("clipped", [False, True])
+def test_instanced_spheres_match_flattened(clipped):
+    inst, flat = _sphere_instance_pair(clipped=clipped)
+    rng = np.random.default_rng(11)
+    n = 768
+    o = np.array([0.0, 0.5, 4.0], np.float32) + 0.4 * rng.normal(
+        size=(n, 3)
+    ).astype(np.float32)
+    targets = np.stack([
+        rng.uniform(-4.5, 4.5, n), rng.uniform(-3.0, 3.0, n),
+        np.full(n, -6.0),
+    ], -1).astype(np.float32)
+    d = targets - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tm = jnp.full((n,), jnp.inf, F32)
+
+    hi = jax.jit(lambda o, d, tm: inst.intersect(o, d, tm))(o, d, tm)
+    hf = jax.jit(lambda o, d, tm: flat.intersect(o, d, tm))(o, d, tm)
+    vi, vf = np.asarray(hi.valid), np.asarray(hf.valid)
+    assert np.mean(vi != vf) < 0.01  # grazing f32 disagreements only
+    both = vi & vf
+    assert both.sum() > 100
+    np.testing.assert_allclose(
+        np.asarray(hi.t)[both], np.asarray(hf.t)[both], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hi.p)[both], np.asarray(hf.p)[both], atol=2e-3
+    )
+    dot = np.sum(np.asarray(hi.ns)[both] * np.asarray(hf.ns)[both], axis=-1)
+    assert dot.min() > 0.999
+    # uv parameterization survives the composition (clipping params live
+    # in the base table, not the instance transform).
+    np.testing.assert_allclose(
+        np.asarray(hi.uv)[both], np.asarray(hf.uv)[both], atol=2e-3
+    )
+    # Occlusion path too.
+    tm8 = jnp.full((n,), 12.0, F32)
+    oi = np.asarray(jax.jit(lambda: inst.intersect_p(o, d, tm8))())
+    of = np.asarray(jax.jit(lambda: flat.intersect_p(o, d, tm8))())
+    assert np.mean(oi != of) < 0.01
+
+
+def test_instanced_sphere_memory_is_shared():
+    # 1000 instances of ONE clipped sphere: base table stays one row; the
+    # per-instance cost is the [1000, 4, 4] transform pair.
+    entry = dict(object_to_world=T.identity(), radius=0.5, material_id=0,
+                 z_min=-0.3, z_max=0.4)
+    trs = [T.translate([0.01 * i, 0.0, -5.0]) for i in range(1000)]
+    b = SceneBuilder()
+    mat = b.material(MatteMaterial())
+    b.instanced_spheres([dict(entry, material_id=mat)], trs)
+    scene = b.build()
+    geom = scene.instanced[0]
+    assert geom.n_instances == 1000
+    assert geom.n_base == 1
+    assert np.asarray(geom.base.radius).shape == (1,)   # stored once
+    assert np.asarray(geom.table.o2w).shape == (1000, 4, 4)
+    assert scene.n_spheres == 0  # nothing flattened
+
+
+def test_instanced_sphere_render_matches_flattened():
+    from trace_tpu.camera.perspective import PerspectiveCamera
+    from trace_tpu.film.film import Film
+    from trace_tpu.film.filters import LanczosSincFilter
+    from trace_tpu.integrators.whitted import WhittedIntegrator
+    from trace_tpu.sampler.uniform import UniformSampler
+
+    inst, flat = _sphere_instance_pair(n_side=3)
+
+    def render(scene):
+        film = Film((24, 24), filter=LanczosSincFilter((1.0, 1.0), 3.0),
+                    filename="/tmp/_inst_sph.png")
+        cam = PerspectiveCamera(
+            T.look_at([0.0, 0.5, 4.0], [0.0, 0.0, -6.0], [0.0, 1.0, 0.0]),
+            film=film, convention="pbrt",
+        )
+        st = WhittedIntegrator(cam, UniformSampler(1, seed=2),
+                               max_depth=2).render(scene)
+        return np.asarray(film.to_image(st))
+
+    img_i = render(inst)
+    img_f = render(flat)
+    assert np.isfinite(img_i).all()
+    assert img_i.max() > 0.01
+    mse = float(np.mean((img_i - img_f) ** 2))
+    assert mse < 1e-5, mse
+
+
 def test_bsdf_mis_leg_ignores_instanced_hits():
     """estimate_direct's BSDF-sampling leg must not attribute a hit on
     INSTANCED geometry to an area light: instanced prim ids (>= n_spheres

@@ -72,6 +72,15 @@ class InstancedGeometry:
         hi = np.asarray(self.table.hi).max(axis=0)
         return np.stack([lo, hi])[None]
 
+    # Uniform instanced-geometry interface (shared with InstancedSpheres).
+    def traverse(self, o, d, t_max, any_hit: bool = False):
+        return instanced_traverse(self, o, d, t_max, any_hit)
+
+    def make_hit_record(self, o, d, time, elem_idx, inst_idx, valid,
+                        prim_offset: int = 0):
+        return make_instanced_hit(self, o, d, time, elem_idx, inst_idx,
+                                  valid, prim_offset)
+
 
 def _transform_aabb(o2w: np.ndarray, lo, hi):
     """World AABB of an object-space AABB under an affine map (the 8-corner
@@ -136,19 +145,15 @@ def _apply44_point(m44, p):
     return m.mat3_apply(m44[:3, :3], p) + m44[:3, 3]
 
 
-def instanced_traverse(geom: InstancedGeometry, o, d, t_max,
-                       any_hit: bool = False):
-    """Demand-ordered instance sweep. Returns (hit [N] bool, t [N],
-    tri [N] int32 base-mesh triangle id, inst [N] int32 instance id)."""
+def _sweep_instances(table: InstanceTable, n_i: int, inner, o, d, t_max,
+                     any_hit: bool):
+    """Generic demand-ordered instance sweep, shared by every base-shape
+    kind (the two-level analog of the cluster sweep's demand order +
+    suffix-min early-out). ``inner(o_l, d_l, limit) -> (hit, t, elem)``
+    is the base-shape closest-hit in instance-local space; directions are
+    passed UNNORMALIZED so t_local == t_world. Returns (hit [N] bool,
+    t [N], elem [N] int32 base-shape element id, inst [N] int32)."""
     n = o.shape[0]
-    n_i = geom.n_instances
-    table = jax.tree.map(jnp.asarray, geom.table)
-    accel = (
-        jax.tree.map(jnp.asarray, geom.accel)
-        if geom.accel is not None else None
-    )
-    base = jax.tree.map(jnp.asarray, geom.base)
-
     entry = _instance_entry(table.lo, table.hi, o, d, t_max)   # [N, I]
     demand = jnp.sum(jnp.isfinite(entry), axis=0)
     perm = jnp.argsort(-demand).astype(jnp.int32)              # [I]
@@ -159,35 +164,26 @@ def instanced_traverse(geom: InstancedGeometry, o, d, t_max,
     suffix = jnp.pad(suffix, ((0, 0), (0, 1)), constant_values=jnp.inf)
 
     def cond(state):
-        r, best_t, best_tri, best_inst, done = state
+        r, best_t, best_elem, best_inst, done = state
         return (r < n_i) & ~jnp.all(done)
 
     def body(state):
-        r, best_t, best_tri, best_inst, done = state
+        r, best_t, best_elem, best_inst, done = state
         inst = perm[r]
         w2o = jnp.take(table.w2o, inst, axis=0)                # [4, 4]
         o_l = _apply44_point(w2o, o)
         d_l = m.mat3_apply(w2o[:3, :3], d)  # unnormalized: t_local == t_world
         limit = jnp.where(done, F32(-jnp.inf), jnp.minimum(best_t, t_max))
-        if accel is not None:
-            hit, t, tri = traverse(
-                accel, o_l, d_l, limit, geom.stage_clusters, any_hit
-            )
-        else:
-            h_all, t_all = tri_mod.intersect_all(base, o_l, d_l, limit)
-            t_all = jnp.where(h_all, t_all, jnp.inf)
-            tri = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
-            t = jnp.min(t_all, axis=-1)
-            hit = jnp.isfinite(t)
+        hit, t, elem = inner(o_l, d_l, limit)
         better = hit & (t < best_t)
         best_t = jnp.where(better, t, best_t)
-        best_tri = jnp.where(better, tri, best_tri)
+        best_elem = jnp.where(better, elem, best_elem)
         best_inst = jnp.where(better, inst, best_inst)
         if any_hit:
             done = done | (best_t <= t_max)
         nxt = jax.lax.dynamic_slice(suffix, (0, r + 1), (n, 1))[:, 0]
         done = done | (nxt >= jnp.minimum(best_t, t_max))
-        return (r + 1, best_t, best_tri, best_inst, done)
+        return (r + 1, best_t, best_elem, best_inst, done)
 
     state = (
         jnp.asarray(0, jnp.int32),
@@ -196,10 +192,38 @@ def instanced_traverse(geom: InstancedGeometry, o, d, t_max,
         jnp.full((n,), -1, jnp.int32),
         jnp.zeros((n,), bool),
     )
-    _, best_t, best_tri, best_inst, _ = jax.lax.while_loop(cond, body, state)
+    _, best_t, best_elem, best_inst, _ = jax.lax.while_loop(cond, body, state)
     hit = (best_inst >= 0) & (best_t <= t_max)
-    return (hit, jnp.where(hit, best_t, jnp.inf), best_tri,
+    return (hit, jnp.where(hit, best_t, jnp.inf), best_elem,
             jnp.maximum(best_inst, 0))
+
+
+def instanced_traverse(geom: InstancedGeometry, o, d, t_max,
+                       any_hit: bool = False):
+    """Demand-ordered instance sweep over a mesh base. Returns (hit [N]
+    bool, t [N], tri [N] int32 base-mesh triangle id, inst [N] int32)."""
+    table = jax.tree.map(jnp.asarray, geom.table)
+    accel = (
+        jax.tree.map(jnp.asarray, geom.accel)
+        if geom.accel is not None else None
+    )
+    base = jax.tree.map(jnp.asarray, geom.base)
+
+    if accel is not None:
+        def inner(o_l, d_l, limit):
+            return traverse(
+                accel, o_l, d_l, limit, geom.stage_clusters, any_hit
+            )
+    else:
+        def inner(o_l, d_l, limit):
+            h_all, t_all = tri_mod.intersect_all(base, o_l, d_l, limit)
+            t_all = jnp.where(h_all, t_all, jnp.inf)
+            tri = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+            t = jnp.min(t_all, axis=-1)
+            return jnp.isfinite(t), t, tri
+
+    return _sweep_instances(table, geom.n_instances, inner, o, d, t_max,
+                            any_hit)
 
 
 # ---------------------------------------------------------------------------
@@ -262,3 +286,146 @@ def make_instanced_hit(geom: InstancedGeometry, o, d, time, tri_idx,
         ).astype(jnp.int32),
     )
     return rec
+
+
+# ---------------------------------------------------------------------------
+# Instanced spheres — the reference's BVH-of-anything composition covers
+# sphere primitives too (bvh.jl:50-68; test_intersection.jl:129-156 nests a
+# BVH of spheres inside a BVH). Here the base is a Spheres SoA stored ONCE;
+# instances add only a transform table row each.
+# ---------------------------------------------------------------------------
+
+class InstancedSpheres:
+    """Many transformed copies of one sphere array sharing the base table.
+
+    Traversal reuses the generic demand-ordered instance sweep
+    (:func:`_sweep_instances`); the inner closest-hit is the brute-force
+    sphere quadratic over the base array in instance-local space (spheres
+    carry their OWN object transform inside the base table, so clipping
+    stays exact). The winner's detail record composes the two transforms
+    per lane — instance ∘ sphere — and runs the standard sphere detail
+    phase on the composed frame, so clipped spheres, Weingarten normal
+    derivatives and uv all come out as if the instance had been flattened.
+    """
+
+    def __init__(self, base: "sph_mod.Spheres", table: InstanceTable):
+        from ..shapes import sphere as sph_mod  # local to avoid cycle risk
+
+        self._sph_mod = sph_mod
+        self.base = base                       # host numpy leaves
+        self.table = table
+        self.n_base = sph_mod.num_spheres(base)
+        self.n_instances = int(np.asarray(table.o2w).shape[0])
+
+    def world_bounds_np(self) -> np.ndarray:
+        lo = np.asarray(self.table.lo).min(axis=0)
+        hi = np.asarray(self.table.hi).max(axis=0)
+        return np.stack([lo, hi])[None]
+
+    def traverse(self, o, d, t_max, any_hit: bool = False):
+        sph_mod = self._sph_mod
+        base = jax.tree.map(jnp.asarray, self.base)
+        table = jax.tree.map(jnp.asarray, self.table)
+
+        def inner(o_l, d_l, limit):
+            h_all, t_all = sph_mod.intersect_all(base, o_l, d_l, limit)
+            t_all = jnp.where(h_all, t_all, jnp.inf)
+            idx = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+            t = jnp.min(t_all, axis=-1)
+            return jnp.isfinite(t), t, idx
+
+        return _sweep_instances(table, self.n_instances, inner, o, d,
+                                t_max, any_hit)
+
+    def make_hit_record(self, o, d, time, elem_idx, inst_idx, valid,
+                        prim_offset: int = 0):
+        """Winner detail: gather base-sphere params at ``elem_idx``, compose
+        per-lane transforms (o2w' = inst_o2w @ sph_o2w, w2o' = sph_w2o @
+        inst_w2o — exact-f32 contraction, no MXU bf16), then reuse the flat
+        sphere detail phase on the composed per-lane table."""
+        import dataclasses
+
+        sph_mod = self._sph_mod
+        base = jax.tree.map(jnp.asarray, self.base)
+        table = jax.tree.map(jnp.asarray, self.table)
+        gs = lambda x: jnp.take(x, elem_idx, axis=0)
+        gi = lambda x: jnp.take(x, inst_idx, axis=0)
+        comp = lambda a, b: jnp.einsum(
+            "nij,njk->nik", a, b, precision=jax.lax.Precision.HIGHEST
+        )
+        o2w = comp(gi(table.o2w), gs(base.o2w))        # [N, 4, 4]
+        w2o = comp(gs(base.w2o), gi(table.w2o))
+        lane_sph = dataclasses.replace(
+            jax.tree.map(gs, base), o2w=o2w, w2o=w2o,
+        )
+        # Re-derive t for the composed frame: the sweep's t is world t and
+        # the affine composition preserves it, so pass it straight through
+        # (sphere.make_hit refines p back onto the sphere from o_obj +
+        # t * d_obj, with d_obj unnormalized — exactly the sweep's setup).
+        n = o.shape[0]
+        t = self._winner_t(o, d, elem_idx, inst_idx)
+        rec = sph_mod.make_hit(
+            lane_sph, o, d, time, t, jnp.arange(n, dtype=jnp.int32), valid,
+            prim_offset=0,
+        )
+        inst_mat = gi(table.material_id)
+        rec = replace(
+            rec,
+            prim_id=(prim_offset + inst_idx * self.n_base
+                     + elem_idx).astype(jnp.int32),
+            material_id=jnp.where(
+                inst_mat >= 0, inst_mat, rec.material_id
+            ).astype(jnp.int32),
+        )
+        return rec
+
+    def _winner_t(self, o, d, elem_idx, inst_idx):
+        """Exact per-lane re-intersect of the winning (instance, sphere)
+        pair — one lane-wise quadratic, matching the sweep's t."""
+        sph_mod = self._sph_mod
+        base = jax.tree.map(jnp.asarray, self.base)
+        table = jax.tree.map(jnp.asarray, self.table)
+        w2o_i = jnp.take(table.w2o, inst_idx, axis=0)          # [N, 4, 4]
+        o_l = m.mat3_apply(w2o_i[..., :3, :3], o) + w2o_i[..., :3, 3]
+        d_l = m.mat3_apply(w2o_i[..., :3, :3], d)
+        lane_sph = jax.tree.map(lambda x: jnp.take(x, elem_idx, axis=0),
+                                base)
+        w2o_s = lane_sph.w2o
+        o_obj = m.mat3_apply(w2o_s[..., :3, :3], o_l) + w2o_s[..., :3, 3]
+        d_obj = m.mat3_apply(w2o_s[..., :3, :3], d_l)
+        n = o.shape[0]
+        _, t = sph_mod._candidate_t(
+            lane_sph, o_obj, d_obj, jnp.full((n,), jnp.inf, F32)
+        )
+        return t
+
+
+def build_sphere_instances(entries, transforms,
+                           material_ids=None) -> InstancedSpheres:
+    """Pack the base sphere array ONCE and derive the instance table from
+    the transform list. ``entries``: list of sphere dicts (the
+    SceneBuilder.sphere kwargs — object_to_world, radius, clipping,
+    material_id)."""
+    from ..shapes import sphere as sph_mod
+
+    base = sph_mod.pack_spheres(entries)
+    bounds = sph_mod.world_bounds_np(base)                 # [S, 2, 3]
+    b_lo = bounds[:, 0].min(axis=0)
+    b_hi = bounds[:, 1].max(axis=0)
+
+    n_i = len(transforms)
+    o2w = np.stack([np.asarray(t.m, np.float32) for t in transforms])
+    w2o = np.stack([np.asarray(t.inv_m, np.float32) for t in transforms])
+    lo = np.zeros((n_i, 3), np.float32)
+    hi = np.zeros((n_i, 3), np.float32)
+    for i in range(n_i):
+        lo[i], hi[i] = _transform_aabb(o2w[i], b_lo, b_hi)
+    swaps = np.array(
+        [np.linalg.det(mm[:3, :3]) < 0 for mm in o2w], bool
+    )
+    if material_ids is None:
+        mat = np.full(n_i, -1, np.int32)
+    else:
+        mat = np.asarray(material_ids, np.int32)
+    table = InstanceTable(o2w, w2o, lo, hi, mat, swaps)
+    return InstancedSpheres(base, table)

@@ -90,6 +90,20 @@ class SceneBuilder:
             normals=normals, uv=uv, material_ids=material_ids,
         ))
 
+    def instanced_spheres(self, entries, transforms,
+                          material_ids=None) -> None:
+        """Many transformed copies of one sphere array sharing a single
+        base table — the reference composes BVHs over ANY primitive,
+        spheres included (bvh.jl:50-68, test_intersection.jl:129-156);
+        this is the sphere counterpart of instanced_mesh. ``entries``:
+        list of sphere dicts (the .sphere kwargs). Memory is
+        O(spheres + len(transforms))."""
+        from .accel.instances import build_sphere_instances
+
+        self._instanced.append(build_sphere_instances(
+            entries, transforms, material_ids=material_ids,
+        ))
+
     def light(self, entry: dict) -> None:
         self._light_entries.append(entry)
 
@@ -334,20 +348,15 @@ class Scene:
                                              prim_offset=self.n_spheres,
                                              exact_edges=self.exact_edges)))
         if self.instanced:
-            from .accel.instances import instanced_traverse, \
-                make_instanced_hit
-
             for geom, offset in zip(self.instanced,
                                     self._instanced_offsets):
-                h_g, t_g, tri_g, inst_g = instanced_traverse(
-                    geom, o, d, t_max
-                )
+                h_g, t_g, tri_g, inst_g = geom.traverse(o, d, t_max)
                 sources.append((
                     h_g, t_g,
                     lambda v, geom=geom, tri_g=tri_g, inst_g=inst_g,
                            offset=offset:
-                    make_instanced_hit(geom, o, d, time, tri_g, inst_g, v,
-                                       prim_offset=offset),
+                    geom.make_hit_record(o, d, time, tri_g, inst_g, v,
+                                         prim_offset=offset),
                 ))
 
         if not sources:
@@ -378,12 +387,8 @@ class Scene:
         n = o.shape[0]
         occ = jnp.zeros(n, bool)
         if self.instanced:
-            from .accel.instances import instanced_traverse
-
             for geom in self.instanced:
-                h_g, t_g, _, _ = instanced_traverse(
-                    geom, o, d, t_max, any_hit=True
-                )
+                h_g, t_g, _, _ = geom.traverse(o, d, t_max, any_hit=True)
                 occ = occ | (h_g & (t_g <= t_max))
         if self.accel is not None:
             return occ | self.accel.any_hit(self, o, d, t_max)

@@ -85,6 +85,65 @@ def test_sweep_kernel_pipelined_bit_identical():
     )
 
 
+def test_sweep_kernel_bf16_panel_mostly_agrees():
+    # panel_bf16 halves the per-step DMA bytes at the cost of ~2^-8
+    # relative constant error: hits must agree except near triangle
+    # boundaries. This pins the A/B knob's CPU semantics; the on-chip
+    # speed/agreement A/B is recorded by bench.py.
+    tris = _soup(500, seed=51)
+    o, d = _rays(400, seed=52)
+    t_max = jnp.full(400, jnp.inf)
+    accel = CL.build_clusters(tris, leaf_tris=16)
+    ref = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                 ray_chunk=512, interpret=True)
+    bf = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                ray_chunk=512, interpret=True,
+                                panel_bf16=True)
+    h0, t0, i0 = (np.asarray(x) for x in ref._chunked(o, d, t_max, False))
+    h1, t1, i1 = (np.asarray(x) for x in bf._chunked(o, d, t_max, False))
+    assert np.mean(h0 != h1) < 0.05
+    both = h0 & h1 & (i0 == i1)   # same winner: t differs only by the
+    assert both.sum() > 50        # constants' bf16 rounding
+    np.testing.assert_allclose(t1[both], t0[both], rtol=5e-2, atol=5e-2)
+    assert np.mean((i0 != i1)[h0 & h1]) < 0.10  # near-tie winner swaps
+
+
+def test_sweep_kernel_collect_stats():
+    # The roofline instrumentation: per-block sweep step counts come back
+    # as a third kernel output; total steps bound by blocks x supers.
+    tris = _soup(300, seed=61)
+    o, d = _rays(256, seed=62)
+    t_max = jnp.full(256, jnp.inf)
+    accel = CL.build_clusters(tris, leaf_tris=16)
+    sw = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                ray_chunk=256, interpret=True,
+                                collect_stats=True)
+    sw._last_steps = []
+    h, t, i = sw._chunked(o, d, t_max, False)
+    bh, bt, bi = _brute(tris, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(h), bh)  # stats path exact
+    total = int(sum(np.asarray(s) for s in sw._last_steps))
+    nb = 256 // 128
+    assert 0 < total <= 2 * nb * sw.tables.n_supers  # 2 chunks
+
+
+def test_sweep_kernel_certified_superset():
+    # certified=True must never lose a hit the plain kernel finds.
+    tris = _soup(400, seed=71)
+    o, d = _rays(300, seed=72)
+    t_max = jnp.full(300, jnp.inf)
+    accel = CL.build_clusters(tris, leaf_tris=16)
+    plain = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                   ray_chunk=512, interpret=True)
+    cert = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                  ray_chunk=512, interpret=True,
+                                  certified=True)
+    h0, t0, _ = (np.asarray(x) for x in plain._chunked(o, d, t_max, False))
+    h1, t1, _ = (np.asarray(x) for x in cert._chunked(o, d, t_max, False))
+    assert (h1 | ~h0).all()
+    np.testing.assert_allclose(t1[h0], t0[h0], rtol=1e-5, atol=1e-6)
+
+
 def test_sweep_kernel_any_hit():
     tris = _soup(500, seed=13)
     o, d = _rays(257, seed=14)

@@ -360,10 +360,14 @@ def _test_stage(accel: ClusterAccel, stage, h, perm, o, d, limit):
     return best_t, best_i
 
 
-def _test_stage_mt(accel: ClusterAccel, stage, h, perm, o, d, m, limit):
+def _test_stage_mt(accel: ClusterAccel, stage, h, perm, o, d, m, limit,
+                   certified: bool = False):
     """MXU variant of _test_stage: the [N, h*L] pair grid comes from six
     [N,3] @ [3,h*L] matmuls (matmul-factored Moller-Trumbore, see
-    accel/mxu.py). m = cross(o, d) per ray, precomputed by the caller."""
+    accel/mxu.py). m = cross(o, d) per ray, precomputed by the caller.
+    ``certified``: widen every boundary test by its certified rounding
+    error (mxu.mt_epilogue_certified) so exact_shared_edges composes with
+    this hot path — 6 extra abs-matmuls on VMEM-resident data."""
     l = accel.leaf_tris
     seg = l * 3
     cids = jax.lax.dynamic_slice(perm, (stage * h,), (h,))
@@ -384,7 +388,19 @@ def _test_stage_mt(accel: ClusterAccel, stage, h, perm, o, d, m, limit):
     u_det = mm(m, e2_m) - mm(d, w_m)
     v_det = -mm(m, e1_m) - mm(d, q_m)
     t_det = mm(o, n_m) - v0n[None, :]
-    ok, t = mxu_mod.mt_epilogue(det, u_det, v_det, t_det)
+    if certified:
+        o_a, d_a = jnp.abs(o), jnp.abs(d)
+        ma = mxu_mod.abs_cross(o_a, d_a)
+        eps = mxu_mod.MT_ERR_EPS
+        err_det = eps * mm(d_a, jnp.abs(n_m))
+        err_u = eps * (mm(ma, jnp.abs(e2_m)) + mm(d_a, jnp.abs(w_m)))
+        err_v = eps * (mm(ma, jnp.abs(e1_m)) + mm(d_a, jnp.abs(q_m)))
+        err_t = eps * (mm(o_a, jnp.abs(n_m)) + jnp.abs(v0n)[None, :])
+        ok, t = mxu_mod.mt_epilogue_certified(
+            det, u_det, v_det, t_det, err_det, err_u, err_v, err_t
+        )
+    else:
+        ok, t = mxu_mod.mt_epilogue(det, u_det, v_det, t_det)
     hit = ok & (t < limit[:, None]) & (tid[None, :] >= 0)
     t = jnp.where(hit, t, jnp.inf)
     j = jnp.argmin(t, axis=-1)
@@ -395,7 +411,7 @@ def _test_stage_mt(accel: ClusterAccel, stage, h, perm, o, d, m, limit):
 
 def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
              any_hit: bool = False, use_mxu: bool = True,
-             entry_bf16: bool = True):
+             entry_bf16: bool = True, certified: bool = False):
     """Closest-hit (or any-hit) via a dense demand-ordered cluster sweep.
 
     Clusters are ordered once by how many rays enter their AABB; stages of
@@ -484,7 +500,8 @@ def traverse(accel: ClusterAccel, o, d, t_max, stage_clusters: int = 64,
         s, best_t, best_i, done = state
         limit = jnp.where(done, -jnp.inf, jnp.minimum(best_t, t_max))
         if use_mxu:
-            stage_t, stage_i = _test_stage_mt(accel, s, h, perm, o, d, m, limit)
+            stage_t, stage_i = _test_stage_mt(accel, s, h, perm, o, d, m,
+                                              limit, certified)
         else:
             stage_t, stage_i = _test_stage(accel, s, h, perm, o, d, limit)
         better = stage_t < best_t
@@ -542,11 +559,14 @@ class ClusterAccelerator:
     sweep retires early."""
 
     def __init__(self, accel: ClusterAccel, stage_clusters: int = 64,
-                 ray_chunk: int = 16384, sort_rays: bool = True):
+                 ray_chunk: int = 16384, sort_rays: bool = True,
+                 certified: bool = False):
         self.clusters = accel
         self.stage_clusters = int(stage_clusters)
         self.ray_chunk = int(ray_chunk)
         self.sort_rays = bool(sort_rays)
+        # Certified-widened epilogue (exact_shared_edges on the hot path).
+        self.certified = bool(certified)
         if isinstance(accel.c_lo, np.ndarray):
             # Host-built accel: numpy bounds (a device reduction here
             # would d2h at trace time when jits close over them).
@@ -576,7 +596,8 @@ class ClusterAccelerator:
         n = o.shape[0]
         if n <= self.ray_chunk:
             return traverse(
-                self.clusters, o, d, t_max, self.stage_clusters, any_hit
+                self.clusters, o, d, t_max, self.stage_clusters, any_hit,
+                certified=self.certified,
             )
         order = None
         if self.sort_rays:
@@ -591,7 +612,7 @@ class ClusterAccelerator:
             e = min(s + self.ray_chunk, n)
             outs.append(traverse(
                 self.clusters, o[s:e], d[s:e], t_max[s:e],
-                self.stage_clusters, any_hit,
+                self.stage_clusters, any_hit, certified=self.certified,
             ))
         hit, t, idx = (jnp.concatenate(x, axis=0) for x in zip(*outs))
         if order is not None:
@@ -628,13 +649,17 @@ class ClusterAccelerator:
 
 def attach(scene, leaf_tris: int = 32, stage_clusters: int = 64,
            max_prims_per_leaf: int = 4, ray_chunk: int = 16384,
-           super_size: int = 1):
-    """Build the cluster accelerator for the scene and install it."""
+           super_size: int = 1, certified: bool | None = None):
+    """Build the cluster accelerator for the scene and install it.
+    ``certified`` defaults to the scene's exact_shared_edges setting."""
     if scene.n_triangles == 0:
         return scene
+    if certified is None:
+        certified = bool(getattr(scene, "exact_edges", False))
     tris = getattr(scene, "triangles_host", scene.triangles)
     accel = build_clusters(tris, leaf_tris, max_prims_per_leaf,
                            super_size=super_size)
     scene.bump_version()
-    scene.accel = ClusterAccelerator(accel, stage_clusters, ray_chunk)
+    scene.accel = ClusterAccelerator(accel, stage_clusters, ray_chunk,
+                                     certified=certified)
     return scene

@@ -95,6 +95,63 @@ def mt_epilogue(det, u_det, v_det, t_det, eps=1e-12):
     return ok, t
 
 
+# Certified error-bound multiplier for the widened epilogue below.
+# Derivation (all quantities f32, matmuls at Precision.HIGHEST so each
+# K=3 dot rounds like a scalar f32 dot):
+#   - m = cross(o, d): each component |δm_i| <= 2 eps |o_j||d_k|+|o_k||d_j|
+#     (two products + one subtraction), propagating |δm·e2| <= 2 eps (ma·|e2|)
+#     with ma the ABS-cross;
+#   - each 3-term dot + the dot-difference: <= 4 eps of the abs-dot sums;
+#   - the panel constants were rounded f64 -> f32 once: <= 1 eps each.
+# 8 covers 2 + 4 + 1 with margin; overestimating the tolerance only
+# fattens silhouette edges by sub-ulp geometric amounts, never drops hits.
+MT_ERR_EPS = np.float32(8.0 * 2.0 ** -24)
+
+
+def abs_cross(a_abs, b_abs):
+    """Component-wise |a|x|b| upper bound of |cross(a, b)|: the cross
+    formula with every subtraction replaced by addition. Inputs are the
+    element-wise absolutes, [..., 3]."""
+    ax, ay, az = a_abs[..., 0], a_abs[..., 1], a_abs[..., 2]
+    bx, by, bz = b_abs[..., 0], b_abs[..., 1], b_abs[..., 2]
+    return jnp.stack(
+        [ay * bz + az * by, az * bx + ax * bz, ax * by + ay * bx],
+        axis=-1,
+    )
+
+
+def mt_epilogue_certified(det, u_det, v_det, t_det,
+                          err_det, err_u, err_v, err_t, eps=1e-12):
+    """Widened (certified-conservative) variant of :func:`mt_epilogue`:
+    each boundary test is relaxed by a CERTIFIED upper bound on its own
+    f32 rounding error, so a ray whose exact intersection lies on a shared
+    mesh edge is accepted by at least one of the adjacent triangles — the
+    hot-path counterpart of the reference's Float64 edge-function fallback
+    (triangle_mesh.jl:194-197). Cost: the error bounds are abs-matmuls on
+    panels already resident in VMEM — extra MXU FLOPs (the unit idles at
+    ~2% on the base contraction), zero extra HBM traffic. Deviation from
+    the exact test: silhouette (non-shared) edges are fattened by the
+    error radius — the price of certainty, measured in ulps of the local
+    geometric scale."""
+    sign = jnp.where(det < 0.0, -1.0, 1.0)
+    adet = det * sign
+    u = u_det * sign
+    v = v_det * sign
+    tn = t_det * sign
+    # Grazing rays stay excluded: below err_det the folded sign itself is
+    # uncertain (same role as the reference's near-zero-det rejection).
+    live = adet > jnp.maximum(eps, err_det)
+    t = tn / jnp.where(live, adet, 1.0)
+    ok = (
+        live
+        & (u >= -err_u)
+        & (v >= -err_v)
+        & (u + v <= adet + err_u + err_v + err_det)
+        & (tn > -err_t)
+    )
+    return ok, t
+
+
 def intersect_grid(consts: TriMatmulConsts, o, d, t_max):
     """All-pairs Moller-Trumbore over [R rays x T tris] via 6 matmuls.
 

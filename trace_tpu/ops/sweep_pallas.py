@@ -9,15 +9,21 @@ with the whole per-stage pipeline fused in VMEM:
 - Per block, XLA precomputes the demand-ordered super-cluster id list and
   the suffix-min of entry distances (both tiny: [NB, S]); they sit in
   SMEM for scalar control flow.
-- The kernel walks the list with a device-side while loop: one DMA pulls
+- The kernel walks the list with a device-side while loop: ONE DMA pulls
   the super's Moller-Trumbore constant panel [16, G*L] from HBM into
-  VMEM, six [B,3] @ [3, G*L] MXU matmuls evaluate the whole
-  (block x super) test grid, and the epilogue (sign fixup, u/v/t bounds,
-  per-lane min + id select) never leaves VMEM — the [B, G*L] grid that
-  the XLA sweep streams through HBM does not exist here.
+  VMEM (triangle ids are slot-local iotas mapped back to global ids
+  outside the kernel — no id slab is moved), six [B,3] @ [3, G*L] MXU
+  matmuls evaluate the whole (block x super) test grid, and the epilogue
+  (sign fixup, u/v/t bounds, per-lane min + id select) never leaves VMEM
+  — the [B, G*L] grid that the XLA sweep streams through HBM does not
+  exist here.
 - The block retires when the next suffix-min exceeds every live lane's
   best hit — the same conservative early-out as the cluster sweep
   (clusters.py:traverse), at block granularity.
+- ``pipeline=True`` double-buffers the panel DMA behind the MXU work;
+  ``panel_bf16=True`` halves the panel bytes (A/B knob — perturbs
+  boundary hits, see SweepTables); ``certified=True`` widens the epilogue
+  by proven error bounds (exact_shared_edges on this hot path).
 
 Exactness: the id list covers every super the block's rays enter (the
 suffix turns +inf exactly where entered supers end), entries lower-bound
@@ -39,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..shapes import sphere as sph_mod
-from ..accel.mxu import mt_epilogue
+from ..accel.mxu import mt_epilogue, mt_epilogue_certified, MT_ERR_EPS
 from ..accel.clusters import ClusterAccel, build_clusters, _entry_boxes, \
     _sort_key
 
@@ -47,10 +53,57 @@ F32 = jnp.float32
 RAY_ROWS = 16   # o(3) d(3) m(3) tmax(1) pad(6) -> one sublane tile
 
 
-class SweepTables:
-    """Host-packed kernel tables derived from a ClusterAccel."""
+def _panel_test(certified, mm, o_m, d_m, m_m,
+                n_p, e1_p, e2_p, w_p, q_p, v0n):
+    """Shared per-super epilogue of both kernel variants: the six MT
+    matmul panels + validity test. ``certified`` (static) adds the
+    error-bound abs-matmuls (mxu.mt_epilogue_certified) so
+    exact_shared_edges composes with this kernel — the extra contractions
+    read only VMEM-resident data, no extra HBM traffic."""
+    det = -mm(d_m, n_p)
+    u_det = mm(m_m, e2_p) - mm(d_m, w_p)
+    v_det = -mm(m_m, e1_p) - mm(d_m, q_p)
+    t_det = mm(o_m, n_p) - v0n
+    if not certified:
+        return mt_epilogue(det, u_det, v_det, t_det)
+    o_a, d_a = jnp.abs(o_m), jnp.abs(d_m)            # [3, B]
+    # ABS-cross over the component axis (axis 0 in kernel layout).
+    ma = jnp.stack(
+        [o_a[1] * d_a[2] + o_a[2] * d_a[1],
+         o_a[2] * d_a[0] + o_a[0] * d_a[2],
+         o_a[0] * d_a[1] + o_a[1] * d_a[0]], axis=0,
+    )
+    eps = MT_ERR_EPS
+    err_det = eps * mm(d_a, jnp.abs(n_p))
+    err_u = eps * (mm(ma, jnp.abs(e2_p)) + mm(d_a, jnp.abs(w_p)))
+    err_v = eps * (mm(ma, jnp.abs(e1_p)) + mm(d_a, jnp.abs(q_p)))
+    err_t = eps * (mm(o_a, jnp.abs(n_p)) + jnp.abs(v0n))
+    return mt_epilogue_certified(
+        det, u_det, v_det, t_det, err_det, err_u, err_v, err_t
+    )
 
-    def __init__(self, accel: ClusterAccel, group: int = 8):
+
+class SweepTables:
+    """Host-packed kernel tables derived from a ClusterAccel.
+
+    Since round 3 the per-step DMA is the MT panel ALONE (32 KB at
+    G=8/L=64): triangle ids are sweep-LOCAL — slot (super s, column k)
+    IS id s*GLP + k, computed in-kernel from an iota — and the winner's
+    local id maps back to the global triangle id through ``slot_to_tri``
+    (one [N] gather per chunk, outside the kernel). Round 2 DMA'd a
+    [8, GLP] int32 id slab per step (16 KB, 7/8 of it sublane padding);
+    dropping it cuts per-step HBM bytes 1.5x and halves the DMA count.
+    Padding slots carry zero MT constants (det = 0) so they self-mask in
+    the epilogue — no id-validity test needed in the kernel.
+
+    ``panel_bf16``: store the panel in bfloat16 — HALF the per-step DMA
+    bytes, upcast to f32 in VMEM before the contraction. The constants
+    then carry ~2^-8 relative error, so boundary hits can differ from the
+    f32 oracle (measured on-chip by bench.py's sweep_agreement probe);
+    OFF by default — the exactness default is f32."""
+
+    def __init__(self, accel: ClusterAccel, group: int = 8,
+                 panel_bf16: bool = False):
         l = accel.leaf_tris
         c = np.asarray(accel.tri_id).shape[0]
         g = int(group)
@@ -73,15 +126,18 @@ class SweepTables:
             s, 16, gl
         )
         # pad already yields contiguous f32 — avoid two further copies.
-        self.panel = np.asarray(
-            np.pad(panel, ((0, 0), (0, 0), (0, self.gl_pad - gl))),
-            np.float32,
-        )
-        # [S, 8, GL] — row 0 carries the ids, rows 1-7 pad the slab to the
-        # int32 VMEM sublane tiling (Mosaic rejects 1-row DMA slices).
-        tid_rows = np.full((s, 8, self.gl_pad), -1, np.int32)
-        tid_rows[:, 0, :gl] = tid.reshape(s, gl)
-        self.tid = np.ascontiguousarray(tid_rows)
+        self.panel_bf16 = bool(panel_bf16)
+        panel = np.pad(panel, ((0, 0), (0, 0), (0, self.gl_pad - gl)))
+        if panel_bf16:
+            self.panel = np.asarray(
+                jnp.asarray(panel, jnp.float32).astype(jnp.bfloat16)
+            )
+        else:
+            self.panel = np.asarray(panel, np.float32)
+        # Local slot id -> global triangle id (-1 = padding slot).
+        slot = np.full((s, self.gl_pad), -1, np.int32)
+        slot[:, :gl] = tid.reshape(s, gl)
+        self.slot_to_tri = np.ascontiguousarray(slot.reshape(-1))
         self.s_lo = np.ascontiguousarray(
             c_lo.reshape(s, g, 3).min(axis=1))
         self.s_hi = np.ascontiguousarray(
@@ -91,13 +147,18 @@ class SweepTables:
         self.leaf_tris = l
 
 
-def _sweep_kernel(any_hit, n_supers,
+def _sweep_kernel(any_hit, n_supers, certified, collect_stats,
                   idx_ref, suffix_ref,            # SMEM per block
                   rays_ref,                        # VMEM [16, B]
-                  panel_hbm, tid_hbm,              # HBM full tables
-                  bt_out, bi_out,                  # VMEM [1, B] outputs
-                  panel_buf, tid_buf, sem, sem_i):
+                  panel_hbm,                       # HBM full panel table
+                  *out_and_scratch):
+    if collect_stats:
+        bt_out, bi_out, st_out, panel_buf, sem = out_and_scratch
+    else:
+        bt_out, bi_out, panel_buf, sem = out_and_scratch
+        st_out = None
     b = rays_ref.shape[1]
+    gl = panel_buf.shape[-1]
     o_x, o_y, o_z = rays_ref[0, :], rays_ref[1, :], rays_ref[2, :]
     d_x, d_y, d_z = rays_ref[3, :], rays_ref[4, :], rays_ref[5, :]
     m_x, m_y, m_z = rays_ref[6, :], rays_ref[7, :], rays_ref[8, :]
@@ -114,31 +175,30 @@ def _sweep_kernel(any_hit, n_supers,
             precision=jax.lax.Precision.HIGHEST,
         )
 
+    # Local slot ids: column k of super s IS id s*GL + k (the tid slab
+    # DMA of round 2 is gone; padding slots self-mask via zero consts).
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, gl), 1)
+
     def body(state):
         s, best_t, best_i = state
         sid = idx_ref[0, s]
         cp = pltpu.make_async_copy(panel_hbm.at[sid], panel_buf, sem)
-        ci = pltpu.make_async_copy(tid_hbm.at[sid], tid_buf, sem_i)
         cp.start()
-        ci.start()
         cp.wait()
-        ci.wait()
 
-        n_p = panel_buf[0:3, :]
-        e1_p = panel_buf[3:6, :]
-        e2_p = panel_buf[6:9, :]
-        w_p = panel_buf[9:12, :]
-        q_p = panel_buf[12:15, :]
-        v0n = panel_buf[15:16, :]                  # [1, GL]
-        tid = tid_buf[0:1, :]                      # [1, GL]
+        f32 = lambda x: x.astype(jnp.float32)     # no-op for f32 panels
+        n_p = f32(panel_buf[0:3, :])
+        e1_p = f32(panel_buf[3:6, :])
+        e2_p = f32(panel_buf[6:9, :])
+        w_p = f32(panel_buf[9:12, :])
+        q_p = f32(panel_buf[12:15, :])
+        v0n = f32(panel_buf[15:16, :])             # [1, GL]
+        tid = col_ids + sid * gl                   # [1, GL] local ids
 
-        det = -mm(d_m, n_p)
-        u_det = mm(m_m, e2_p) - mm(d_m, w_p)
-        v_det = -mm(m_m, e1_p) - mm(d_m, q_p)
-        t_det = mm(o_m, n_p) - v0n
-        core_ok, t = mt_epilogue(det, u_det, v_det, t_det)
+        core_ok, t = _panel_test(certified, mm, o_m, d_m, m_m,
+                                 n_p, e1_p, e2_p, w_p, q_p, v0n)
         limit = jnp.minimum(best_t, t_lim)[:, None]   # [B, 1]
-        ok = core_ok & (t < limit) & (tid >= 0)
+        ok = core_ok & (t < limit)
         t = jnp.where(ok, t, jnp.inf)
         tmin = jnp.min(t, axis=1)                     # [B]
         # Gather-free id select: min id among slots equal to the min.
@@ -164,7 +224,7 @@ def _sweep_kernel(any_hit, n_supers,
         jnp.full((b,), jnp.inf, F32),
         jnp.full((b,), jnp.int32(0x7FFFFFFF)),
     )
-    _, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    s_exit, best_t, best_i = jax.lax.while_loop(cond, body, init)
     found = best_i != jnp.int32(0x7FFFFFFF)
     # 8-sublane output blocks (Mosaic tile rule); row 0 carries the data.
     bt_out[:, :] = jnp.broadcast_to(
@@ -173,21 +233,32 @@ def _sweep_kernel(any_hit, n_supers,
     bi_out[:, :] = jnp.broadcast_to(
         jnp.where(found, best_i, -1)[None, :], bi_out.shape
     )
+    if collect_stats:
+        # Supers actually swept by this block (roofline instrumentation:
+        # HBM bytes moved = steps x panel bytes).
+        st_out[:, :] = jnp.broadcast_to(
+            s_exit[None, None], st_out.shape
+        ).astype(jnp.int32)
 
 
-def _sweep_kernel_pipelined(any_hit, n_supers,
+def _sweep_kernel_pipelined(any_hit, n_supers, certified, collect_stats,
                             idx_ref, suffix_ref,     # SMEM per block
                             rays_ref,                 # VMEM [16, B]
-                            panel_hbm, tid_hbm,       # HBM full tables
-                            bt_out, bi_out,           # VMEM [8, B] outputs
-                            panel_buf, tid_buf, sem, sem_i):
+                            panel_hbm,                # HBM full panel table
+                            *out_and_scratch):
     """Double-buffered variant of :func:`_sweep_kernel`: while the MXU
     evaluates super ``s``'s panel, the DMA engine already pulls super
     ``s+1``'s into the other buffer slot, hiding the HBM latency behind
     compute. Same demand order / suffix early-out / epilogue; the panel
     prefetched past the last executed step is drained after the loop
     (idx rows are zero-padded, so the overshoot index is always valid)."""
+    if collect_stats:
+        bt_out, bi_out, st_out, panel_buf, sem = out_and_scratch
+    else:
+        bt_out, bi_out, panel_buf, sem = out_and_scratch
+        st_out = None
     b = rays_ref.shape[1]
+    gl = panel_buf.shape[-1]
     o_x, o_y, o_z = rays_ref[0, :], rays_ref[1, :], rays_ref[2, :]
     d_x, d_y, d_z = rays_ref[3, :], rays_ref[4, :], rays_ref[5, :]
     m_x, m_y, m_z = rays_ref[6, :], rays_ref[7, :], rays_ref[8, :]
@@ -204,22 +275,18 @@ def _sweep_kernel_pipelined(any_hit, n_supers,
             precision=jax.lax.Precision.HIGHEST,
         )
 
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, gl), 1)
+
     def start(slot, s):
         sid = idx_ref[0, s]
         pltpu.make_async_copy(
             panel_hbm.at[sid], panel_buf.at[slot], sem.at[slot]
-        ).start()
-        pltpu.make_async_copy(
-            tid_hbm.at[sid], tid_buf.at[slot], sem_i.at[slot]
         ).start()
 
     def wait(slot):
         sid0 = idx_ref[0, 0]  # shape donor only; wait is by semaphore
         pltpu.make_async_copy(
             panel_hbm.at[sid0], panel_buf.at[slot], sem.at[slot]
-        ).wait()
-        pltpu.make_async_copy(
-            tid_hbm.at[sid0], tid_buf.at[slot], sem_i.at[slot]
         ).wait()
 
     def body(state):
@@ -231,21 +298,19 @@ def _sweep_kernel_pipelined(any_hit, n_supers,
         start(1 - slot, s + 1)
         wait(slot)
 
-        n_p = panel_buf[slot, 0:3, :]
-        e1_p = panel_buf[slot, 3:6, :]
-        e2_p = panel_buf[slot, 6:9, :]
-        w_p = panel_buf[slot, 9:12, :]
-        q_p = panel_buf[slot, 12:15, :]
-        v0n = panel_buf[slot, 15:16, :]
-        tid = tid_buf[slot, 0:1, :]
+        f32 = lambda x: x.astype(jnp.float32)     # no-op for f32 panels
+        n_p = f32(panel_buf[slot, 0:3, :])
+        e1_p = f32(panel_buf[slot, 3:6, :])
+        e2_p = f32(panel_buf[slot, 6:9, :])
+        w_p = f32(panel_buf[slot, 9:12, :])
+        q_p = f32(panel_buf[slot, 12:15, :])
+        v0n = f32(panel_buf[slot, 15:16, :])
+        tid = col_ids + idx_ref[0, s] * gl
 
-        det = -mm(d_m, n_p)
-        u_det = mm(m_m, e2_p) - mm(d_m, w_p)
-        v_det = -mm(m_m, e1_p) - mm(d_m, q_p)
-        t_det = mm(o_m, n_p) - v0n
-        core_ok, t = mt_epilogue(det, u_det, v_det, t_det)
+        core_ok, t = _panel_test(certified, mm, o_m, d_m, m_m,
+                                 n_p, e1_p, e2_p, w_p, q_p, v0n)
         limit = jnp.minimum(best_t, t_lim)[:, None]
-        ok = core_ok & (t < limit) & (tid >= 0)
+        ok = core_ok & (t < limit)
         t = jnp.where(ok, t, jnp.inf)
         tmin = jnp.min(t, axis=1)
         ids = jnp.min(
@@ -282,6 +347,10 @@ def _sweep_kernel_pipelined(any_hit, n_supers,
     bi_out[:, :] = jnp.broadcast_to(
         jnp.where(found, best_i, -1)[None, :], bi_out.shape
     )
+    if collect_stats:
+        st_out[:, :] = jnp.broadcast_to(
+            s_exit[None, None], st_out.shape
+        ).astype(jnp.int32)
 
 
 class PallasSweepAccelerator:
@@ -292,14 +361,21 @@ class PallasSweepAccelerator:
     def __init__(self, accel: ClusterAccel, group: int = 8,
                  block_rays: int = 512, ray_chunk: int = 16384,
                  sort_rays: bool = True, interpret: bool = False,
-                 pipeline: bool = False):
+                 pipeline: bool = False, certified: bool = False,
+                 panel_bf16: bool = False, collect_stats: bool = False):
         self.clusters = accel
-        self.tables = SweepTables(accel, group)
+        self.tables = SweepTables(accel, group, panel_bf16=panel_bf16)
         self.block_rays = int(block_rays)
         self.ray_chunk = int(ray_chunk)
         self.sort_rays = bool(sort_rays)
         self.interpret = bool(interpret)
         self.pipeline = bool(pipeline)
+        # Certified-widened epilogue (exact_shared_edges on the hot path).
+        self.certified = bool(certified)
+        # Roofline instrumentation: when set, each chunk also returns the
+        # per-block sweep step counts; _last_steps accumulates the total.
+        self.collect_stats = bool(collect_stats)
+        self._last_steps = None
         lo = self.tables.s_lo.min(axis=0)
         hi = self.tables.s_hi.max(axis=0)
         self._world_lo = lo
@@ -316,7 +392,8 @@ class PallasSweepAccelerator:
         from ..accel.clusters import refit_clusters
 
         self.clusters = refit_clusters(self.clusters, v0, v1, v2)
-        self.tables = SweepTables(self.clusters, self.tables.group)
+        self.tables = SweepTables(self.clusters, self.tables.group,
+                                  panel_bf16=self.tables.panel_bf16)
         lo = self.tables.s_lo.min(axis=0)
         hi = self.tables.s_hi.max(axis=0)
         self._world_lo = lo
@@ -373,25 +450,39 @@ class PallasSweepAccelerator:
         rays = jnp.pad(pack, ((0, 0), (0, RAY_ROWS - 10), (0, 0)))
 
         gl = tb.gl_pad
+        panel_dtype = jnp.bfloat16 if tb.panel_bf16 else jnp.float32
+        stats = bool(getattr(self, "collect_stats", False))
         if self.pipeline:
             kernel = functools.partial(
-                _sweep_kernel_pipelined, any_hit, s_count
+                _sweep_kernel_pipelined, any_hit, s_count, self.certified,
+                stats,
             )
             scratch = [
-                pltpu.VMEM((2, 16, gl), jnp.float32),
-                pltpu.VMEM((2, 8, gl), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, 16, gl), panel_dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
-            kernel = functools.partial(_sweep_kernel, any_hit, s_count)
+            kernel = functools.partial(_sweep_kernel, any_hit, s_count,
+                                       self.certified, stats)
             scratch = [
-                pltpu.VMEM((16, gl), jnp.float32),
-                pltpu.VMEM((8, gl), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((16, gl), panel_dtype),
                 pltpu.SemaphoreType.DMA(()),
             ]
-        bt, bi = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec((8, b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, b), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb * 8, b), F32),
+            jax.ShapeDtypeStruct((nb * 8, b), jnp.int32),
+        ]
+        if stats:
+            out_specs.append(pl.BlockSpec((8, b), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((nb * 8, b), jnp.int32))
+        outs = pl.pallas_call(
             kernel,
             grid=(nb,),
             in_specs=[
@@ -402,18 +493,9 @@ class PallasSweepAccelerator:
                 pl.BlockSpec((RAY_ROWS, b), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[
-                pl.BlockSpec((8, b), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, b), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((nb * 8, b), F32),
-                jax.ShapeDtypeStruct((nb * 8, b), jnp.int32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=self.interpret,
         )(
@@ -421,12 +503,22 @@ class PallasSweepAccelerator:
             suffix,
             rays.reshape(nb * RAY_ROWS, b),
             jnp.asarray(tb.panel),
-            jnp.asarray(tb.tid),
         )
+        bt, bi = outs[0], outs[1]
         bt = bt.reshape(nb, 8, b)[:, 0].reshape(-1)[:n]
         bi = bi.reshape(nb, 8, b)[:, 0].reshape(-1)[:n]
-        hit = (bi >= 0) & (bt <= t_max)
-        return hit, jnp.where(hit, bt, jnp.inf), jnp.maximum(bi, 0)
+        # Local slot id -> global triangle id (one tiny gather per chunk).
+        found = bi != jnp.int32(0x7FFFFFFF)
+        tri = jnp.asarray(tb.slot_to_tri)[jnp.where(found, bi, 0)]
+        hit = found & (tri >= 0) & (bt <= t_max)
+        if stats:
+            steps = outs[2].reshape(nb, 8, b)[:, 0, 0]      # [NB]
+            # Appended per chunk; the roofline probe (bench.py) resets the
+            # list, runs eagerly, and sums the concrete values.
+            if self._last_steps is None:
+                self._last_steps = []
+            self._last_steps.append(jnp.sum(steps))
+        return hit, jnp.where(hit, bt, jnp.inf), jnp.maximum(tri, 0)
 
     def _chunked(self, o, d, t_max, any_hit):
         n = o.shape[0]
@@ -482,18 +574,21 @@ class PallasSweepAccelerator:
 def attach(scene, leaf_tris: int = 64, group: int = 8,
            max_prims_per_leaf: int = 4, block_rays: int = 512,
            ray_chunk: int = 16384, interpret: bool | None = None,
-           pipeline: bool = False):
+           pipeline: bool = False, certified: bool | None = None):
     """Install the Pallas sparse-sweep accelerator. ``interpret`` None ->
-    auto: Mosaic on TPU, the Pallas interpreter elsewhere (CPU tests)."""
+    auto: Mosaic on TPU, the Pallas interpreter elsewhere (CPU tests).
+    ``certified`` defaults to the scene's exact_shared_edges setting."""
     if scene.n_triangles == 0:
         return scene
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if certified is None:
+        certified = bool(getattr(scene, "exact_edges", False))
     tris = getattr(scene, "triangles_host", scene.triangles)
     accel = build_clusters(tris, leaf_tris, max_prims_per_leaf)
     scene.bump_version()
     scene.accel = PallasSweepAccelerator(
         accel, group=group, block_rays=block_rays, ray_chunk=ray_chunk,
-        interpret=interpret, pipeline=pipeline,
+        interpret=interpret, pipeline=pipeline, certified=certified,
     )
     return scene

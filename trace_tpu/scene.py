@@ -342,11 +342,16 @@ class Scene:
                             sph_mod.make_hit(self.spheres, o, d, time,
                                              t_s, i_s, v)))
         if self.n_triangles:
-            sources.append((hit_t, t_t, lambda v, i_t=i_t:
+            # Certified accel path: the cheap phase already guarantees the
+            # winner (widened epilogue); the watertight recompute must not
+            # re-drop exactly-on-edge hits (triangle.make_hit trust_valid).
+            trust = self.exact_edges and self.accel is not None
+            sources.append((hit_t, t_t, lambda v, i_t=i_t, trust=trust:
                             tri_mod.make_hit(self.triangles, o, d, time,
                                              i_t, v,
                                              prim_offset=self.n_spheres,
-                                             exact_edges=self.exact_edges)))
+                                             exact_edges=self.exact_edges,
+                                             trust_valid=trust)))
         if self.instanced:
             for geom, offset in zip(self.instanced,
                                     self._instanced_offsets):

@@ -305,10 +305,19 @@ def intersect_p(tris: Triangles, o, d, t_max):
 
 
 def make_hit(tris: Triangles, o, d, time, idx, valid, prim_offset=0,
-             exact_edges=False):
+             exact_edges=False, trust_valid=False):
     """Detail phase for each ray's winning triangle: barycentric interp of
     p/uv, uv-based ∂p, per-vertex-normal shading frame
-    (triangle_mesh.jl:125-185, 216-242)."""
+    (triangle_mesh.jl:125-185, 216-242).
+
+    ``trust_valid``: keep the caller's valid mask instead of AND-ing the
+    watertight recompute's acceptance back in. Used by the certified
+    accelerator paths (exact_shared_edges on a sweep accel): a winner the
+    certified-widened MT test accepted exactly ON a shared edge can be
+    rejected by this recompute's strict edge signs — re-masking would
+    reintroduce the leak the certification just closed. The barycentrics
+    and t are still this recompute's values (well-conditioned within the
+    certified error radius of the triangle)."""
     import jax
 
     tris = jax.tree.map(jnp.asarray, tris)  # np leaves -> traceable gathers
@@ -318,7 +327,8 @@ def make_hit(tris: Triangles, o, d, time, idx, valid, prim_offset=0,
         v0, v1, v2, o, d, jnp.full(o.shape[:-1], jnp.inf, F32),
         exact_edges,
     )
-    valid = valid & hit
+    if not trust_valid:
+        valid = valid & hit
 
     uv0, uv1, uv2 = g(tris.uv0), g(tris.uv1), g(tris.uv2)
     duv13 = uv0 - uv2

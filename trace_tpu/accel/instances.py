@@ -185,12 +185,17 @@ def _sweep_instances(table: InstanceTable, n_i: int, inner, o, d, t_max,
         done = done | (nxt >= jnp.minimum(best_t, t_max))
         return (r + 1, best_t, best_elem, best_inst, done)
 
+    # Initial carries derived from the (possibly shard_map-varying) rays:
+    # fresh jnp.full/zeros constants are UNVARYING and trip the vma check
+    # when the loop body writes varying values into them (see
+    # integrators.common.vary_like — same rule).
+    zeros = o[:, 0] * 0.0                       # [N], inherits varying axes
     state = (
         jnp.asarray(0, jnp.int32),
-        jnp.full((n,), jnp.inf, F32),
-        jnp.zeros((n,), jnp.int32),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,), bool),
+        zeros + jnp.inf,
+        zeros.astype(jnp.int32),
+        zeros.astype(jnp.int32) - 1,
+        zeros > 0.0,
     )
     _, best_t, best_elem, best_inst, _ = jax.lax.while_loop(cond, body, state)
     hit = (best_inst >= 0) & (best_t <= t_max)

@@ -52,12 +52,14 @@ class SamplerIntegrator:
         return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
 
     def _li_with_aux(self, scene, rd, key):
-        """``(l, aux_scalar)`` — integrators that track a per-pass device
-        counter (e.g. Whitted specular-queue drops) override this; the
-        default has no counter."""
-        return self.li(scene, rd, key), jnp.sum(rd.o[..., 0] * 0.0).astype(
-            jnp.int32
-        )
+        """``(l, aux_dict)`` of device i32 counters accumulated across
+        chunks/samples: ``queue_drops`` (Whitted specular overflow) and
+        ``useful_rays`` (live-lane closest + shadow rays per wavefront
+        level — the honest Mrays numerator, vs. the dispatch count that
+        includes masked-dead lanes). Integrators with counters override
+        this; the default reports zeros."""
+        z = jnp.sum(rd.o[..., 0] * 0.0).astype(jnp.int32)
+        return self.li(scene, rd, key), {"queue_drops": z, "useful_rays": z}
 
     def _stratum_arrays(self, s):
         """(lo, scale) for traced sample index s — confines film jitter to
@@ -129,7 +131,7 @@ class SamplerIntegrator:
             jnp.where(lane_valid, weight, 0.0),
             valid=lane_valid,
         )
-        return state, aux + aux_s
+        return state, jax.tree.map(jnp.add, aux, aux_s)
 
     def render(self, scene, geometry=None,
                geometry_transform=None) -> FilmState:
@@ -175,7 +177,8 @@ class SamplerIntegrator:
                 "rays_dispatched",
                 n * spp * self.max_depth * (1 + num_lights(scene.lights)),
             )
-        aux = jnp.zeros((), jnp.int32)
+        aux = {"queue_drops": jnp.zeros((), jnp.int32),
+               "useful_rays": jnp.zeros((), jnp.int32)}
         for ci, start in enumerate(range(0, n, chunk)):
             part = pixels[start:start + chunk]
             valid = np.ones(part.shape[0], bool)
@@ -192,13 +195,16 @@ class SamplerIntegrator:
             state, aux = self._chunk_pass(
                 scene, state, aux, part, valid, key, lights_dev, geom,
             )
-        # Device scalar: Whitted specular-queue overflow drops (0 for
-        # integrators without a counter). Kept on device — reading it
-        # mid-run would poison the relay dispatch latency (§5b); tests
-        # and the opt-in stats path sync it once per render.
-        self.last_queue_drops = aux
+        # Device scalars: Whitted specular-queue overflow drops + the
+        # useful-ray count (0 for integrators without counters). Kept on
+        # device — reading them mid-run would poison the relay dispatch
+        # latency (§5b); tests and the opt-in stats path sync once per
+        # render.
+        self.last_queue_drops = aux["queue_drops"]
+        self.last_useful_rays = aux["useful_rays"]
         if self.stats is not None:
             jax.block_until_ready(state.xyz)
             self.stats.stop("render")
-            self.stats.add("specular_queue_drops", int(aux))
+            self.stats.add("specular_queue_drops", int(aux["queue_drops"]))
+            self.stats.add("useful_rays", int(aux["useful_rays"]))
         return state

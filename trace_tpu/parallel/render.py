@@ -7,6 +7,11 @@ film samples is sharded across the mesh's ``rays`` axis with ``shard_map``;
 each device renders its lanes and accumulates into a device-local film,
 and the films are combined with one ``psum`` over ICI — the deterministic
 replacement for merge_film_tile! (SURVEY.md §2 parallelism table).
+
+Works for every SAMPLER integrator: ``integrator="whitted"`` (default) or
+``"path"`` (NEE + MIS — BASELINE config 2's tracer) — both radiance
+functions share the megabatch signature. SPPM has its own SPMD passes
+(parallel/sppm.py: camera, photon, and pair reductions sharded).
 """
 from __future__ import annotations
 
@@ -18,7 +23,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..film.film import FilmState
-from ..integrators.whitted import li
 from ..integrators import common
 from ..core.ray import scale_differentials
 from ..sampler import uniform as U
@@ -31,15 +35,26 @@ def make_mesh(devices=None, axis: str = "rays") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _li_fn(integrator: str):
+    if integrator == "whitted":
+        from ..integrators.whitted import li
+        return li
+    if integrator == "path":
+        from ..integrators.path import li
+        return li
+    raise ValueError(f"unknown sampler integrator {integrator!r}")
+
+
 @functools.lru_cache(maxsize=32)
 def _sharded_step(scene, camera, mesh: Mesh, spp: int, max_depth: int,
-                  axis: str):
+                  axis: str, integrator: str):
     """Build (and cache) the jitted sharded render step. Cached per
     (scene-version, camera, mesh, config) so repeated renders — e.g.
     animation frames, which only change the light table — reuse the
     compiled executable. The light table enters as a traced argument
     (Scene.with_lights)."""
     film = camera.film
+    li = _li_fn(integrator)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -80,7 +95,8 @@ def _sharded_step(scene, camera, mesh: Mesh, spp: int, max_depth: int,
 
 
 def render_sharded(scene, camera, mesh: Mesh, spp: int = 1, max_depth: int = 5,
-                   seed: int = 0, axis: str = "rays") -> FilmState:
+                   seed: int = 0, axis: str = "rays",
+                   integrator: str = "whitted") -> FilmState:
     """Render the camera's full film, data-parallel over the mesh.
 
     Pixels are padded to a multiple of the mesh size and split evenly; the
@@ -88,6 +104,7 @@ def render_sharded(scene, camera, mesh: Mesh, spp: int = 1, max_depth: int = 5,
     pixel-identity-keyed (sampler.uniform.lane_keys), so every device
     count — including 1 — draws the EXACT streams of the single-chip
     SamplerIntegrator render; only f32 film-accumulation order differs.
+    ``integrator``: "whitted" or "path" (see module docstring).
     """
     film = camera.film
     (x0, y0), (x1, y1) = film.sample_bounds()
@@ -101,7 +118,8 @@ def render_sharded(scene, camera, mesh: Mesh, spp: int = 1, max_depth: int = 5,
     valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
     pixels = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
 
-    step = _sharded_step(scene, camera, mesh, spp, max_depth, axis)
+    step = _sharded_step(scene, camera, mesh, spp, max_depth, axis,
+                         integrator)
     key = jax.random.key(seed)
     lights = jax.tree.map(jnp.asarray, scene.lights)
     return step(jnp.asarray(pixels), jnp.asarray(valid), key, lights)

@@ -84,8 +84,15 @@ def bench_whitted_shadows():
     n_lights = int(np.asarray(scene.lights.kind).shape[0])
     total_rays = n_pixels * spp * (1 + n_lights) * max_depth
     mrays = total_rays / dt / 1e6
+    # Useful rays: live-lane closest + shadow rays only (masked-dead
+    # wavefront lanes excluded) — the honest Mrays numerator, counted on
+    # device by the integrator and synced ONCE here, after all timing
+    # (a mid-run readback would poison relay dispatch latency, §5b).
+    useful = int(jax.device_get(integ.last_useful_rays))
     return {
         "mrays": round(mrays, 3),
+        "useful_mrays": round(useful / dt / 1e6, 3),
+        "useful_ray_frac": round(useful / total_rays, 4),
         "ms": round(dt * 1e3, 3),
         "iqr_ms": round(iqr * 1e3, 3),
     }
@@ -118,9 +125,14 @@ def bench_cornell_path():
 
     (x0, y0), (x1, y1) = camera.film.sample_bounds()
     n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
-    # Per bounce: one scatter ray + one NEE shadow ray.
-    total_rays = n_pixels * spp * max_depth * 2
+    # Per bounce each lane dispatches one scatter ray plus the two
+    # uniform_sample_one_light legs (NEE shadow + BSDF-MIS visibility).
+    total_rays = n_pixels * spp * max_depth * 3
+    # Honest numerator: live-path rays only (see bench_whitted_shadows).
+    useful = int(jax.device_get(integ.last_useful_rays))
     return {"mrays": round(total_rays / dt / 1e6, 3),
+            "useful_mrays": round(useful / dt / 1e6, 3),
+            "useful_ray_frac": round(useful / total_rays, 4),
             "ms": round(dt * 1e3, 3)}
 
 
@@ -204,36 +216,265 @@ def bench_mesh_1m():
         n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
         n_lights = int(np.asarray(scene.lights.kind).shape[0])
         total_rays = n_pixels * spp * (1 + n_lights) * max_depth
-        return dt, total_rays
+        return dt, total_rays, integ
 
-    dt_lat, rays_lat = run(256, 1, 7)
-    dt_thr, rays_thr = run(512, 4, 5)
+    dt_lat, rays_lat, integ_lat = run(256, 1, 7)
+    dt_thr, rays_thr, _ = run(512, 4, 5)
 
-    # On-device LBVH-style build at 1M tris (BASELINE config 4's
-    # "on-device LBVH build" leg): Morton codes + argsort + block pack,
-    # one jitted dispatch (accel/morton.py). The host SAH build above is
-    # the static-scene default; this is the per-frame-rebuild capability.
-    from trace_tpu.accel.morton import build_clusters_device
-
-    tris = jax.tree.map(jnp.asarray, scene.triangles_host)
-    acc = build_clusters_device(tris, 64)  # warm-up (compile)
-    jax.block_until_ready(acc.packed)
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        acc = build_clusters_device(tris, 64)
-        jax.block_until_ready(acc.packed)
-        times.append(time.perf_counter() - t0)
-    dev_build_ms, _ = _median_iqr(times)
-
-    return {
+    out = {
         "mrays": round(rays_thr / dt_thr / 1e6, 3),
         "ms_512_4spp": round(dt_thr * 1e3, 3),
         "ms_256_1spp": round(dt_lat * 1e3, 3),
         "mrays_256_1spp": round(rays_lat / dt_lat / 1e6, 3),
         "n_tris": int(scene.n_triangles),
         "build_s": round(build_s, 2),
-        "device_build_ms": round(dev_build_ms * 1e3, 3),
+    }
+    out.update(_mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat))
+    return out
+
+
+def _time_fn(fn, *args, reps: int = 11):
+    """Median wall time of ``fn(*args)`` with block_until_ready."""
+    out = fn(*args)
+    jax.block_until_ready(out)  # warm-up / compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return _median_iqr(times)[0], out
+
+
+# v5e single-chip peaks (public spec): the roofline denominators.
+V5E_HBM_GBPS = 819.0
+V5E_BF16_TFLOPS = 197.0
+
+
+def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
+    """Config-4 sub-probes, ordered so every device->host READBACK comes
+    after every TIMING (a readback permanently degrades relay dispatch
+    latency ~20us -> ~2.7ms, ARCHITECTURE §5b):
+
+      1. kernel-level A/Bs on a fixed 64k-ray batch — Pallas sweep f32 /
+         pipelined / bf16-panel, XLA cluster sweep with entry_bf16 on/off
+         (the two A/Bs ARCHITECTURE §7 left "pending relay availability");
+      2. readbacks — useful-ray count, Pallas-vs-XLA hit agreement ON
+         HARDWARE (Mosaic vs XLA compilation of the same test — the
+         driver-visible artifact for the kernel's exactness claim),
+         bf16-panel agreement, sweep-step counts (roofline numerators);
+      3. on-device Morton build timed WITH a forced per-iteration
+         readback (np hash of the packed buffer) so the number includes
+         real device completion — the async block_until_ready figure is
+         recorded alongside for comparison.
+    """
+    import functools
+
+    from trace_tpu.accel.clusters import ClusterAccelerator, traverse
+    from trace_tpu.ops.sweep_pallas import PallasSweepAccelerator
+
+    sweep = scene.accel
+    is_pallas = isinstance(sweep, PallasSweepAccelerator)
+    res = {}
+
+    # Fixed deterministic ray batch over the terrain: origins in a slab
+    # above the heightfield, targets on it — incoherent enough to make
+    # every kernel traverse, small enough to stay latency-honest.
+    rng = np.random.default_rng(7)
+    n = 1 << 16
+    o = np.stack([rng.uniform(-10, 10, n), rng.uniform(3.0, 7.0, n),
+                  rng.uniform(-10, 10, n)], -1).astype(np.float32)
+    tgt = np.stack([rng.uniform(-10, 10, n),
+                    rng.uniform(-0.9, 0.9, n),
+                    rng.uniform(-10, 10, n)], -1).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d.astype(np.float32))
+    t_max = jnp.full((n,), np.inf, jnp.float32)
+
+    def timed(accel_obj, reps=11):
+        fn = jax.jit(lambda o_, d_, t_: accel_obj._chunked(o_, d_, t_, False))
+        dt, outs = _time_fn(fn, o, d, t_max, reps=reps)
+        return dt, outs
+
+    # --- 1. timings (no readbacks yet) ---
+    ab = {}
+    if is_pallas:
+        dt_f32, out_f32 = timed(sweep)
+        ab["pallas_f32_ms"] = round(dt_f32 * 1e3, 3)
+        ab["pallas_f32_mrays"] = round(n / dt_f32 / 1e6, 1)
+        pipe = PallasSweepAccelerator(
+            sweep.clusters, group=8, block_rays=sweep.block_rays,
+            ray_chunk=sweep.ray_chunk, pipeline=True)
+        dt_pipe, _ = timed(pipe)
+        ab["pallas_pipelined_ms"] = round(dt_pipe * 1e3, 3)
+        bf = PallasSweepAccelerator(
+            sweep.clusters, group=8, block_rays=sweep.block_rays,
+            ray_chunk=sweep.ray_chunk, panel_bf16=True)
+        dt_bf, out_bf = timed(bf)
+        ab["pallas_bf16_panel_ms"] = round(dt_bf * 1e3, 3)
+        ab["bf16_panel_speedup"] = round(dt_f32 / dt_bf, 3)
+    # XLA cluster sweep on the same accel structure: entry_bf16 A/B.
+    xla = ClusterAccelerator(sweep.clusters if is_pallas else scene.accel.clusters,
+                             stage_clusters=128,
+                             ray_chunk=getattr(sweep, "ray_chunk", 16384))
+    cl = xla.clusters
+
+    def cluster_fn(entry_bf16):
+        return jax.jit(functools.partial(
+            lambda o_, d_, t_, eb: traverse(
+                cl, o_, d_, t_, 128, False, entry_bf16=eb),
+            eb=entry_bf16))
+
+    dt_eb1, out_xla = _time_fn(cluster_fn(True), o[:16384], d[:16384],
+                               t_max[:16384])
+    dt_eb0, _ = _time_fn(cluster_fn(False), o[:16384], d[:16384],
+                         t_max[:16384])
+    ab["cluster_entry_bf16_ms"] = round(dt_eb1 * 1e3, 3)
+    ab["cluster_entry_f32_ms"] = round(dt_eb0 * 1e3, 3)
+    ab["entry_bf16_speedup"] = round(dt_eb0 / dt_eb1, 3)
+    res["kernel_ab"] = ab
+
+    # --- 2. readbacks: agreement + useful rays + roofline steps ---
+    useful = int(jax.device_get(integ_lat.last_useful_rays))
+    res["useful_mrays_256_1spp"] = round(useful / dt_lat / 1e6, 3)
+    res["useful_ray_frac"] = round(useful / rays_lat, 4)
+
+    if is_pallas:
+        h_p, t_p, i_p = (np.asarray(x) for x in out_f32)
+        dt_x16, out_x16 = timed(xla, reps=3)
+        h_x, t_x, i_x = (np.asarray(x) for x in out_x16)
+        agree = float(np.mean((h_p == h_x)
+                              & (~h_p | (i_p == i_x)
+                                 | np.isclose(t_p, t_x, rtol=1e-5))))
+        res["sweep_agreement"] = round(agree, 6)
+        res["sweep_t_maxdiff"] = float(
+            np.max(np.abs(np.where(h_p & h_x, t_p - t_x, 0.0))))
+        h_b, t_b, i_b = (np.asarray(x) for x in out_bf)
+        res["bf16_panel_hit_agreement"] = round(
+            float(np.mean(h_p == h_b)), 6)
+
+        # Roofline: re-run the f32 kernel with step counters and price
+        # the panel DMA traffic + MXU work against v5e peaks.
+        st = PallasSweepAccelerator(
+            sweep.clusters, group=8, block_rays=sweep.block_rays,
+            ray_chunk=sweep.ray_chunk, collect_stats=True)
+        st._last_steps = []
+        st._chunked(o, d, t_max, False)  # eager: concrete step counts
+        steps = int(sum(int(np.asarray(s)) for s in st._last_steps))
+        panel_bytes = 16 * st.tables.gl_pad * 4
+        hbm_gb = steps * panel_bytes / 1e9
+        flops = steps * 36 * sweep.block_rays * st.tables.gl_pad
+        res["roofline"] = {
+            "sweep_steps": steps,
+            "panel_kb_per_step": round(panel_bytes / 1024, 1),
+            "hbm_gb_per_batch": round(hbm_gb, 4),
+            "hbm_gbps": round(hbm_gb / dt_f32 * 1e9 / 1e9, 1),
+            "hbm_peak_frac": round(hbm_gb / dt_f32 / V5E_HBM_GBPS, 4),
+            "mxu_tflops": round(flops / dt_f32 / 1e12, 3),
+            "mxu_bf16_peak_frac": round(
+                flops / dt_f32 / 1e12 / V5E_BF16_TFLOPS, 5),
+        }
+
+    # --- 3. on-device Morton build: async vs forced-readback timing ---
+    from trace_tpu.accel.morton import build_clusters_device
+
+    tris = jax.tree.map(jnp.asarray, scene.triangles_host)
+    acc = build_clusters_device(tris, 64)  # warm-up (compile)
+    jax.block_until_ready(acc.packed)
+    _ = np.asarray(acc.c_lo[0])  # warm the d2h path (first d2h is slow)
+    times_async, times_forced = [], []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        acc = build_clusters_device(tris, 64)
+        jax.block_until_ready(acc.packed)
+        times_async.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        acc = build_clusters_device(tris, 64)
+        np.asarray(acc.c_lo[0])  # forces real device completion + d2h
+        times_forced.append(time.perf_counter() - t0)
+    res["device_build_ms"] = round(_median_iqr(times_forced)[0] * 1e3, 3)
+    res["device_build_ms_async"] = round(
+        _median_iqr(times_async)[0] * 1e3, 3)
+    return res
+
+
+def bench_mesh_16m():
+    """Config 4b: the >10M-triangle regime (ARCHITECTURE §7's super_size
+    exhibit — nothing had ever run there before round 3). ~16M-triangle
+    heightfield through the XLA cluster sweep, two-level super-cluster
+    entry (super_size 32) vs single-level on the same clusters. At this
+    scale the single-level [rays, clusters] entry table is the binding
+    constraint — 250k clusters x 16384 rays = 16 GB, which does NOT fit
+    HBM, so the single-level leg must drop to ray_chunk 2048 while the
+    super-clustered leg keeps 16384: the memory wall, not just the scan
+    cost, is what the two-level table buys out of. Frames are 256²/1spp
+    whitted depth 2."""
+    from trace_tpu.models.mesh_heavy import build_scene, build_camera
+    from trace_tpu.integrators.whitted import WhittedIntegrator
+    from trace_tpu.sampler.uniform import UniformSampler
+    from trace_tpu.accel.clusters import attach
+    from trace_tpu.native import load as load_native
+
+    load_native()
+    t0 = time.perf_counter()
+    scene = build_scene(target_tris=16_000_000, use_bvh=False)
+    gen_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    attach(scene, leaf_tris=64, stage_clusters=128, ray_chunk=16384,
+           super_size=32)
+    build_s = time.perf_counter() - t0
+    acc = scene.accel.clusters
+    table_mb = sum(
+        np.asarray(x).nbytes for x in
+        (acc.packed_mt, acc.tri_id, acc.c_lo, acc.c_hi, acc.s_lo, acc.s_hi)
+    ) / 1e6
+
+    def frame(reps):
+        camera = build_camera(resolution=256,
+                              filename="/tmp/bench_mesh16m.png")
+        integ = WhittedIntegrator(
+            camera, UniformSampler(1, seed=0), max_depth=2,
+            pixel_chunk=1 << 18,
+        )
+        state = integ.render(scene)
+        jax.block_until_ready(state.xyz)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state = integ.render(scene)
+            jax.block_until_ready(state.xyz)
+            times.append(time.perf_counter() - t0)
+        dt, _ = _median_iqr(times)
+        (x0, y0), (x1, y1) = camera.film.sample_bounds()
+        n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
+        n_lights = int(np.asarray(scene.lights.kind).shape[0])
+        return dt, n_pixels * 1 * (1 + n_lights) * 2
+
+    dt_super, rays = frame(5)
+
+    # Single-level leg: same clusters, super_size 1. ray_chunk 2048 keeps
+    # the [rays, 250k] f32 entry table at 2 GB (16384 would need 16 GB).
+    from trace_tpu.accel.clusters import ClusterAccelerator, ClusterAccel
+
+    flat = ClusterAccel(acc.c_lo, acc.c_hi, acc.c_lo, acc.c_hi,
+                        acc.packed, acc.packed_mt, acc.tri_id,
+                        acc.leaf_tris, 1)
+    scene.bump_version()
+    scene.accel = ClusterAccelerator(flat, stage_clusters=128,
+                                     ray_chunk=2048)
+    dt_flat, _ = frame(3)
+
+    return {
+        "n_tris": int(scene.n_triangles),
+        "gen_s": round(gen_s, 2),
+        "build_s": round(build_s, 2),
+        "table_mb": round(table_mb, 1),
+        "ms_256_1spp_super32": round(dt_super * 1e3, 3),
+        "mrays_super32": round(rays / dt_super / 1e6, 3),
+        "ms_256_1spp_flat_chunk2048": round(dt_flat * 1e3, 3),
+        "mrays_flat": round(rays / dt_flat / 1e6, 3),
     }
 
 
@@ -282,6 +523,7 @@ CONFIGS = [
     ("cornell_mis_512", bench_cornell_path),
     ("sppm_caustic_1024", bench_sppm_caustic),
     ("mesh1m_whitted_256", bench_mesh_1m),
+    ("mesh16m_whitted_256", bench_mesh_16m),
     ("animated_relight_128", bench_animated_relight),
 ]
 

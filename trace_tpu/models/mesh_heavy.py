@@ -41,7 +41,10 @@ def heightfield(n: int):
     return verts, tris.astype(np.uint32)
 
 
-def build_scene(target_tris: int = 1_000_000) -> Scene:
+def build_scene(target_tris: int = 1_000_000, **build_kw) -> Scene:
+    """``build_kw`` forwards to SceneBuilder.build (e.g. use_bvh=False for
+    the >10M-tri exhibit, which installs its own super-clustered
+    accelerator — see bench.bench_mesh_16m)."""
     n = int(np.sqrt(target_tris / 2)) + 1
     verts, tris = heightfield(n)
     b = SceneBuilder()
@@ -50,7 +53,7 @@ def build_scene(target_tris: int = 1_000_000) -> Scene:
     b.triangle_mesh(T.identity(), tris, verts, ground)
     b.sphere(T.translate([0.0, 2.0, 0.0]), 1.0, glass)
     b.light(point_light(T.translate([4.0, 8.0, 4.0]), (400.0, 400.0, 400.0)))
-    return b.build()
+    return b.build(**build_kw)
 
 
 def build_camera(resolution: int = 512, filename: str = "terrain.png",

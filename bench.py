@@ -173,7 +173,27 @@ def bench_sppm_caustic():
     state = integ.render(scene, n_iterations=n_timed)
     jax.block_until_ready(state.tau)
     dt = (time.perf_counter() - t0) / n_timed
-    return {"ms_per_iter": round(dt * 1e3, 3)}
+    res = {"ms_per_iter": round(dt * 1e3, 3)}
+    if fused_k == 1:
+        # Roofline of the fused iteration: XLA cost analysis of the very
+        # executable just timed (same shapes/statics -> compile-cache
+        # hit). Bytes are XLA's static HLO traffic estimate.
+        try:
+            ca = integ.fused_cost_analysis(scene, n_iters=1)
+            fl = float(ca.get("flops", 0.0))
+            by = float(ca.get("bytes accessed", 0.0))
+            res["roofline"] = {
+                "flops_per_iter": fl,
+                "hbm_bytes_per_iter": by,
+                "hbm_gbps": round(by / dt / 1e9, 1),
+                "hbm_peak_frac": round(by / dt / 1e9 / V5E_HBM_GBPS, 4),
+                "tflops": round(fl / dt / 1e12, 3),
+                "flops_peak_frac": round(
+                    fl / dt / 1e12 / V5E_BF16_TFLOPS, 5),
+            }
+        except Exception as e:
+            res["roofline_error"] = f"{type(e).__name__}: {e}"[:200]
+    return res
 
 
 def bench_mesh_1m():
@@ -229,7 +249,10 @@ def bench_mesh_1m():
         "n_tris": int(scene.n_triangles),
         "build_s": round(build_s, 2),
     }
-    out.update(_mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat))
+    try:
+        out.update(_mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat))
+    except Exception as e:  # a probe fault must not null the headline
+        out["probe_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 

@@ -805,6 +805,37 @@ class SPPMIntegrator:
             self._lights_cache = cache
         return cache[1]
 
+    def fused_cost_analysis(self, scene, n_iters: int = 1):
+        """XLA cost analysis (flops, bytes accessed) of the compiled
+        fused-iteration executable — the numerators for bench.py's SPPM
+        roofline. Mirrors render()'s fused-path call shapes exactly, so
+        after a render this compiles from the persistent cache. The
+        byte count is XLA's static HLO estimate of memory traffic, not a
+        hardware counter — an idealized-traffic roofline."""
+        pixels = self._pixel_grid()
+        chunk = min(self.pixel_chunk, pixels.shape[0])
+        pad = (-pixels.shape[0]) % chunk
+        part = np.concatenate([pixels, np.zeros((pad, 2), np.int32)])
+        lane_valid = np.concatenate(
+            [np.ones(pixels.shape[0], bool), np.zeros(pad, bool)]
+        )
+        state = initial_state(self.n_pixels, self.initial_search_radius)
+        key = jax.random.key(self.seed)
+        light_cdf = common.light_power_cdf(scene)
+        prev = jnp.concatenate([jnp.zeros(1, F32), light_cdf[:-1]])
+        light_pmf = light_cdf - prev
+        # .lower on the bound method drops the binding — go through the
+        # class attribute with self as the (static) first argument.
+        lowered = type(self)._iterations_fused.lower(
+            self, scene, state, n_iters, jnp.int32(1), jnp.asarray(part),
+            jnp.asarray(lane_valid), key, light_cdf, light_pmf,
+            self._lights_device(scene), None,
+        )
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return ca
+
     @functools.partial(jax.jit, static_argnums=(0, 1, 3))
     def _iterations_fused(self, scene, state: SPPMState, n_iters: int,
                           it_start, pixels, lane_valid, key,

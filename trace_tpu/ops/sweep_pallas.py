@@ -129,8 +129,13 @@ class SweepTables:
         self.panel_bf16 = bool(panel_bf16)
         panel = np.pad(panel, ((0, 0), (0, 0), (0, self.gl_pad - gl)))
         if panel_bf16:
-            self.panel = np.asarray(
-                jnp.asarray(panel, jnp.float32).astype(jnp.bfloat16)
+            # Host-side cast (ml_dtypes ships with JAX): table packing
+            # must never touch the device — the round-trip a device cast
+            # implies (h2d 64 MB, cast, d2h) faults the axon TPU relay.
+            import ml_dtypes
+
+            self.panel = np.ascontiguousarray(
+                panel.astype(np.float32).astype(ml_dtypes.bfloat16)
             )
         else:
             self.panel = np.asarray(panel, np.float32)

@@ -184,12 +184,14 @@ def bench_sppm_caustic():
             by = float(ca.get("bytes accessed", 0.0))
             res["roofline"] = {
                 "flops_per_iter": fl,
-                "hbm_bytes_per_iter": by,
-                "hbm_gbps": round(by / dt / 1e9, 1),
-                "hbm_peak_frac": round(by / dt / 1e9 / V5E_HBM_GBPS, 4),
                 "tflops": round(fl / dt / 1e12, 3),
                 "flops_peak_frac": round(
                     fl / dt / 1e12 / V5E_BF16_TFLOPS, 5),
+                # Op-level operand+result bytes (XLA cost model), NOT HBM
+                # traffic — fusion keeps most of it in VMEM/registers, so
+                # this only upper-bounds what an unfused program would
+                # move. Recorded for scaling comparisons, not peak-frac.
+                "xla_op_bytes_per_iter": by,
             }
         except Exception as e:
             res["roofline_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -274,37 +276,12 @@ V5E_HBM_GBPS = 819.0
 V5E_BF16_TFLOPS = 197.0
 
 
-def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
-    """Config-4 sub-probes, ordered so every device->host READBACK comes
-    after every TIMING (a readback permanently degrades relay dispatch
-    latency ~20us -> ~2.7ms, ARCHITECTURE §5b):
-
-      1. kernel-level A/Bs on a fixed 64k-ray batch — Pallas sweep f32 /
-         pipelined / bf16-panel, XLA cluster sweep with entry_bf16 on/off
-         (the two A/Bs ARCHITECTURE §7 left "pending relay availability");
-      2. readbacks — useful-ray count, Pallas-vs-XLA hit agreement ON
-         HARDWARE (Mosaic vs XLA compilation of the same test — the
-         driver-visible artifact for the kernel's exactness claim),
-         bf16-panel agreement, sweep-step counts (roofline numerators);
-      3. on-device Morton build timed WITH a forced per-iteration
-         readback (np hash of the packed buffer) so the number includes
-         real device completion — the async block_until_ready figure is
-         recorded alongside for comparison.
-    """
-    import functools
-
-    from trace_tpu.accel.clusters import ClusterAccelerator, traverse
-    from trace_tpu.ops.sweep_pallas import PallasSweepAccelerator
-
-    sweep = scene.accel
-    is_pallas = isinstance(sweep, PallasSweepAccelerator)
-    res = {}
-
-    # Fixed deterministic ray batch over the terrain: origins in a slab
-    # above the heightfield, targets on it — incoherent enough to make
-    # every kernel traverse, small enough to stay latency-honest.
+def _probe_rays(n: int = 1 << 16):
+    """Fixed deterministic ray batch over the terrain: origins in a slab
+    above the heightfield, targets on it — incoherent enough to make
+    every kernel traverse, small enough to stay latency-honest. Shared by
+    the probe parent and every grandchild (same seed -> same rays)."""
     rng = np.random.default_rng(7)
-    n = 1 << 16
     o = np.stack([rng.uniform(-10, 10, n), rng.uniform(3.0, 7.0, n),
                   rng.uniform(-10, 10, n)], -1).astype(np.float32)
     tgt = np.stack([rng.uniform(-10, 10, n),
@@ -312,94 +289,204 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
                     rng.uniform(-10, 10, n)], -1).astype(np.float32)
     d = tgt - o
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    o, d = jnp.asarray(o), jnp.asarray(d.astype(np.float32))
-    t_max = jnp.full((n,), np.inf, jnp.float32)
+    return (jnp.asarray(o), jnp.asarray(d.astype(np.float32)),
+            jnp.full((n,), np.inf, jnp.float32))
 
-    def timed(accel_obj, reps=11):
-        fn = jax.jit(lambda o_, d_, t_: accel_obj._chunked(o_, d_, t_, False))
-        dt, outs = _time_fn(fn, o, d, t_max, reps=reps)
-        return dt, outs
 
-    # --- 1. timings (no readbacks yet) ---
-    ab = {}
+def _probe_main(variant: str):
+    """Grandchild body (env BENCH_PROBE=<variant>): rebuild the config-4
+    scene deterministically, run ONE kernel variant on the fixed ray
+    batch, read the hit arrays back (dumped to /tmp for the parent's
+    agreement checks), print one JSON line. Readbacks happen strictly
+    after timing — a d2h permanently degrades relay dispatch latency
+    (~20us -> ~2.7ms, ARCHITECTURE §5b) — but within one process per
+    variant, so that ordering constraint no longer couples variants."""
+    import functools
+
+    from trace_tpu.models.mesh_heavy import build_scene
+    from trace_tpu.accel.clusters import ClusterAccelerator, traverse
+    from trace_tpu.ops.sweep_pallas import PallasSweepAccelerator
+    from trace_tpu.native import load as load_native
+
+    load_native()
+    scene = build_scene()
+    sweep = scene.accel
+    is_pallas = isinstance(sweep, PallasSweepAccelerator)
+    o, d, t_max = _probe_rays()
+    out = {"variant": variant}
+
+    if variant.startswith("pallas_"):
+        assert is_pallas, "pallas probe on a non-pallas scene default"
+        kw = {}
+        if variant == "pallas_pipelined":
+            kw["pipeline"] = True
+        elif variant == "pallas_bf16_panel":
+            kw["panel_bf16"] = True
+        acc = sweep if variant == "pallas_f32" else PallasSweepAccelerator(
+            sweep.clusters, group=8, block_rays=sweep.block_rays,
+            ray_chunk=sweep.ray_chunk, **kw)
+        fn = jax.jit(lambda o_, d_, t_: acc._chunked(o_, d_, t_, False))
+        dt, outs = _time_fn(fn, o, d, t_max)
+        out["ms"] = round(dt * 1e3, 3)
+        h, t, i = (np.asarray(x) for x in outs)  # forced readback
+        np.savez(f"/tmp/bench_probe_{variant}.npz", h=h, t=t, i=i)
+        out["hits"] = int(h.sum())
+        if variant == "pallas_f32":
+            # Step counters for the roofline (eager run, concrete counts).
+            st = PallasSweepAccelerator(
+                sweep.clusters, group=8, block_rays=sweep.block_rays,
+                ray_chunk=sweep.ray_chunk, collect_stats=True)
+            st._last_steps = []
+            st._chunked(o, d, t_max, False)
+            out["sweep_steps"] = int(
+                sum(int(np.asarray(s)) for s in st._last_steps))
+            out["gl_pad"] = int(st.tables.gl_pad)
+            out["block_rays"] = int(sweep.block_rays)
+    elif variant == "xla_ab":
+        cl = sweep.clusters  # same accel structure either way
+
+        def cluster_fn(entry_bf16):
+            return jax.jit(functools.partial(
+                lambda o_, d_, t_, eb: traverse(
+                    cl, o_, d_, t_, 128, False, entry_bf16=eb),
+                eb=entry_bf16))
+
+        dt1, _ = _time_fn(cluster_fn(True), o[:16384], d[:16384],
+                          t_max[:16384])
+        dt0, _ = _time_fn(cluster_fn(False), o[:16384], d[:16384],
+                          t_max[:16384])
+        out["entry_bf16_ms"] = round(dt1 * 1e3, 3)
+        out["entry_f32_ms"] = round(dt0 * 1e3, 3)
+    elif variant == "xla_full":
+        xla = ClusterAccelerator(sweep.clusters, stage_clusters=128,
+                                 ray_chunk=getattr(sweep, "ray_chunk",
+                                                   16384))
+        fn = jax.jit(lambda o_, d_, t_: xla._chunked(o_, d_, t_, False))
+        dt, outs = _time_fn(fn, o, d, t_max, reps=3)
+        out["ms"] = round(dt * 1e3, 3)
+        h, t, i = (np.asarray(x) for x in outs)
+        np.savez("/tmp/bench_probe_xla_full.npz", h=h, t=t, i=i)
+        out["hits"] = int(h.sum())
+    else:
+        raise ValueError(f"unknown probe variant {variant!r}")
+    print(json.dumps(out))
+
+
+def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
+    """Config-4 sub-probes. Each kernel variant runs in its OWN grandchild
+    process (env BENCH_PROBE -> _probe_main): with all variants queued in
+    one process the TPU runtime faults sequence-dependently (bf16-panel
+    observed faulting in sequence yet passing in isolation with forced
+    readback, twice) — per-variant isolation makes one fault cost one
+    entry instead of the config, and keeps every timing honest (each
+    process times before its first d2h readback, ARCHITECTURE §5b).
+
+      1. kernel A/Bs on a fixed 64k-ray batch — Pallas sweep f32 /
+         pipelined / bf16-panel, XLA cluster sweep with entry_bf16 on/off
+         (the two A/Bs ARCHITECTURE §7 left "pending relay availability");
+      2. cross-checks from the dumped hit arrays — Pallas-vs-XLA hit
+         agreement ON HARDWARE (Mosaic vs XLA compilation of the same
+         test — the driver-visible artifact for the kernel's exactness
+         claim), bf16-panel agreement, roofline from the step counters;
+      3. inline: useful-ray readback, on-device Morton build timed WITH a
+         forced per-iteration readback (real device completion — the
+         async block_until_ready figure recorded alongside).
+    """
+    import subprocess
+    import sys
+
+    from trace_tpu.ops.sweep_pallas import PallasSweepAccelerator
+
+    is_pallas = isinstance(scene.accel, PallasSweepAccelerator)
+    res, ab, perrs = {}, {}, {}
+    n = 1 << 16
+
+    def probe(variant, timeout=1200):
+        env = dict(os.environ)
+        env["BENCH_PROBE"] = variant
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout,
+            )
+            if proc.returncode != 0:
+                tail = (proc.stderr or proc.stdout).strip()[-200:]
+                perrs[variant] = f"rc={proc.returncode}: {tail}"
+                return None
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            perrs[variant] = f"{type(e).__name__}: {e}"[:200]
+            return None
+
+    # --- 1. per-variant grandchild timings ---
+    p32 = pb = None
     if is_pallas:
-        dt_f32, out_f32 = timed(sweep)
-        ab["pallas_f32_ms"] = round(dt_f32 * 1e3, 3)
-        ab["pallas_f32_mrays"] = round(n / dt_f32 / 1e6, 1)
-        pipe = PallasSweepAccelerator(
-            sweep.clusters, group=8, block_rays=sweep.block_rays,
-            ray_chunk=sweep.ray_chunk, pipeline=True)
-        dt_pipe, _ = timed(pipe)
-        ab["pallas_pipelined_ms"] = round(dt_pipe * 1e3, 3)
-        bf = PallasSweepAccelerator(
-            sweep.clusters, group=8, block_rays=sweep.block_rays,
-            ray_chunk=sweep.ray_chunk, panel_bf16=True)
-        dt_bf, out_bf = timed(bf)
-        ab["pallas_bf16_panel_ms"] = round(dt_bf * 1e3, 3)
-        ab["bf16_panel_speedup"] = round(dt_f32 / dt_bf, 3)
-    # XLA cluster sweep on the same accel structure: entry_bf16 A/B.
-    xla = ClusterAccelerator(sweep.clusters if is_pallas else scene.accel.clusters,
-                             stage_clusters=128,
-                             ray_chunk=getattr(sweep, "ray_chunk", 16384))
-    cl = xla.clusters
-
-    def cluster_fn(entry_bf16):
-        return jax.jit(functools.partial(
-            lambda o_, d_, t_, eb: traverse(
-                cl, o_, d_, t_, 128, False, entry_bf16=eb),
-            eb=entry_bf16))
-
-    dt_eb1, out_xla = _time_fn(cluster_fn(True), o[:16384], d[:16384],
-                               t_max[:16384])
-    dt_eb0, _ = _time_fn(cluster_fn(False), o[:16384], d[:16384],
-                         t_max[:16384])
-    ab["cluster_entry_bf16_ms"] = round(dt_eb1 * 1e3, 3)
-    ab["cluster_entry_f32_ms"] = round(dt_eb0 * 1e3, 3)
-    ab["entry_bf16_speedup"] = round(dt_eb0 / dt_eb1, 3)
+        p32 = probe("pallas_f32")
+        if p32:
+            ab["pallas_f32_ms"] = p32["ms"]
+            ab["pallas_f32_mrays"] = round(n / p32["ms"] * 1e3 / 1e6, 1)
+        pp = probe("pallas_pipelined")
+        if pp:
+            ab["pallas_pipelined_ms"] = pp["ms"]
+        pb = probe("pallas_bf16_panel")
+        if pb:
+            ab["pallas_bf16_panel_ms"] = pb["ms"]
+            if p32:
+                ab["bf16_panel_speedup"] = round(p32["ms"] / pb["ms"], 3)
+    xab = probe("xla_ab")
+    if xab:
+        ab["cluster_entry_bf16_ms"] = xab["entry_bf16_ms"]
+        ab["cluster_entry_f32_ms"] = xab["entry_f32_ms"]
+        ab["entry_bf16_speedup"] = round(
+            xab["entry_f32_ms"] / xab["entry_bf16_ms"], 3)
     res["kernel_ab"] = ab
 
-    # --- 2. readbacks: agreement + useful rays + roofline steps ---
+    # --- 2. agreement + roofline from the dumped arrays ---
+    if is_pallas and p32:
+        xf = probe("xla_full")
+        try:
+            a = np.load("/tmp/bench_probe_pallas_f32.npz")
+            h_p, t_p, i_p = a["h"], a["t"], a["i"]
+            if xf:
+                b = np.load("/tmp/bench_probe_xla_full.npz")
+                h_x, t_x, i_x = b["h"], b["t"], b["i"]
+                agree = float(np.mean((h_p == h_x)
+                                      & (~h_p | (i_p == i_x)
+                                         | np.isclose(t_p, t_x,
+                                                      rtol=1e-5))))
+                res["sweep_agreement"] = round(agree, 6)
+                res["sweep_t_maxdiff"] = float(
+                    np.max(np.abs(np.where(h_p & h_x, t_p - t_x, 0.0))))
+            if pb:
+                c = np.load("/tmp/bench_probe_pallas_bf16_panel.npz")
+                res["bf16_panel_hit_agreement"] = round(
+                    float(np.mean(h_p == c["h"])), 6)
+        except Exception as e:
+            perrs["agreement"] = f"{type(e).__name__}: {e}"[:200]
+
+        if "sweep_steps" in p32:
+            # Price the panel DMA traffic + MXU work against v5e peaks.
+            dt_f32 = p32["ms"] / 1e3
+            steps = p32["sweep_steps"]
+            panel_bytes = 16 * p32["gl_pad"] * 4
+            hbm_gb = steps * panel_bytes / 1e9
+            flops = steps * 36 * p32["block_rays"] * p32["gl_pad"]
+            res["roofline"] = {
+                "sweep_steps": steps,
+                "panel_kb_per_step": round(panel_bytes / 1024, 1),
+                "hbm_gb_per_batch": round(hbm_gb, 4),
+                "hbm_gbps": round(hbm_gb / dt_f32 * 1e9 / 1e9, 1),
+                "hbm_peak_frac": round(hbm_gb / dt_f32 / V5E_HBM_GBPS, 4),
+                "mxu_tflops": round(flops / dt_f32 / 1e12, 3),
+                "mxu_bf16_peak_frac": round(
+                    flops / dt_f32 / 1e12 / V5E_BF16_TFLOPS, 5),
+            }
+
+    # --- 3. inline readbacks: useful rays + on-device Morton build ---
     useful = int(jax.device_get(integ_lat.last_useful_rays))
     res["useful_mrays_256_1spp"] = round(useful / dt_lat / 1e6, 3)
     res["useful_ray_frac"] = round(useful / rays_lat, 4)
 
-    if is_pallas:
-        h_p, t_p, i_p = (np.asarray(x) for x in out_f32)
-        dt_x16, out_x16 = timed(xla, reps=3)
-        h_x, t_x, i_x = (np.asarray(x) for x in out_x16)
-        agree = float(np.mean((h_p == h_x)
-                              & (~h_p | (i_p == i_x)
-                                 | np.isclose(t_p, t_x, rtol=1e-5))))
-        res["sweep_agreement"] = round(agree, 6)
-        res["sweep_t_maxdiff"] = float(
-            np.max(np.abs(np.where(h_p & h_x, t_p - t_x, 0.0))))
-        h_b, t_b, i_b = (np.asarray(x) for x in out_bf)
-        res["bf16_panel_hit_agreement"] = round(
-            float(np.mean(h_p == h_b)), 6)
-
-        # Roofline: re-run the f32 kernel with step counters and price
-        # the panel DMA traffic + MXU work against v5e peaks.
-        st = PallasSweepAccelerator(
-            sweep.clusters, group=8, block_rays=sweep.block_rays,
-            ray_chunk=sweep.ray_chunk, collect_stats=True)
-        st._last_steps = []
-        st._chunked(o, d, t_max, False)  # eager: concrete step counts
-        steps = int(sum(int(np.asarray(s)) for s in st._last_steps))
-        panel_bytes = 16 * st.tables.gl_pad * 4
-        hbm_gb = steps * panel_bytes / 1e9
-        flops = steps * 36 * sweep.block_rays * st.tables.gl_pad
-        res["roofline"] = {
-            "sweep_steps": steps,
-            "panel_kb_per_step": round(panel_bytes / 1024, 1),
-            "hbm_gb_per_batch": round(hbm_gb, 4),
-            "hbm_gbps": round(hbm_gb / dt_f32 * 1e9 / 1e9, 1),
-            "hbm_peak_frac": round(hbm_gb / dt_f32 / V5E_HBM_GBPS, 4),
-            "mxu_tflops": round(flops / dt_f32 / 1e12, 3),
-            "mxu_bf16_peak_frac": round(
-                flops / dt_f32 / 1e12 / V5E_BF16_TFLOPS, 5),
-        }
-
-    # --- 3. on-device Morton build: async vs forced-readback timing ---
     from trace_tpu.accel.morton import build_clusters_device
 
     tris = jax.tree.map(jnp.asarray, scene.triangles_host)
@@ -419,54 +506,61 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
     res["device_build_ms"] = round(_median_iqr(times_forced)[0] * 1e3, 3)
     res["device_build_ms_async"] = round(
         _median_iqr(times_async)[0] * 1e3, 3)
+    if perrs:
+        res["probe_errors"] = perrs
     return res
 
 
 def bench_mesh_16m():
     """Config 4b: the >10M-triangle regime (ARCHITECTURE §7's super_size
-    exhibit — nothing had ever run there before round 3). ~16M-triangle
-    heightfield through the XLA cluster sweep, two-level super-cluster
-    entry (super_size 32) vs single-level on the same clusters. At this
-    scale the single-level [rays, clusters] entry table is the binding
-    constraint — 250k clusters x 16384 rays = 16 GB, which does NOT fit
-    HBM, so the single-level leg must drop to ray_chunk 2048 while the
-    super-clustered leg keeps 16384: the memory wall, not just the scan
-    cost, is what the two-level table buys out of. Frames are 256²/1spp
-    whitted depth 2."""
+    exhibit). ~16M-triangle heightfield through the XLA cluster sweep,
+    two-level super-cluster entry (super_size 32) vs single-level on the
+    same clusters. At this scale the single-level [rays, clusters] entry
+    table is the binding constraint — 250k clusters x 16384 rays = 16 GB,
+    which does NOT fit HBM, so the single-level leg must drop to
+    ray_chunk 2048 while the super-clustered leg keeps 16384: the memory
+    wall, not just the scan cost, is what the two-level table buys out
+    of. Frames are 256²/1spp whitted depth 2.
+
+    The tables ride the TRACED-geometry path (render(geometry=...,
+    geometry_accel=...)): at 16M tris packed_mt alone is ~1 GB, and
+    jit-embedding it as a program constant crashes the remote-compile
+    relay (broken pipe, observed twice) — as traced args the program
+    stays small and the tables transfer once over h2d."""
     from trace_tpu.models.mesh_heavy import build_scene, build_camera
     from trace_tpu.integrators.whitted import WhittedIntegrator
     from trace_tpu.sampler.uniform import UniformSampler
-    from trace_tpu.accel.clusters import attach
+    from trace_tpu.accel.clusters import build_clusters, ClusterAccel
     from trace_tpu.native import load as load_native
 
     load_native()
     t0 = time.perf_counter()
     scene = build_scene(target_tris=16_000_000, use_bvh=False)
     gen_s = time.perf_counter() - t0
+    tris = scene.triangles_host
 
     t0 = time.perf_counter()
-    attach(scene, leaf_tris=64, stage_clusters=128, ray_chunk=16384,
-           super_size=32)
+    acc = build_clusters(tris, leaf_tris=64, super_size=32)
     build_s = time.perf_counter() - t0
-    acc = scene.accel.clusters
     table_mb = sum(
         np.asarray(x).nbytes for x in
         (acc.packed_mt, acc.tri_id, acc.c_lo, acc.c_hi, acc.s_lo, acc.s_hi)
     ) / 1e6
 
-    def frame(reps):
+    def frame(accel, reps):
         camera = build_camera(resolution=256,
                               filename="/tmp/bench_mesh16m.png")
         integ = WhittedIntegrator(
             camera, UniformSampler(1, seed=0), max_depth=2,
             pixel_chunk=1 << 18,
         )
-        state = integ.render(scene)
+        state = integ.render(scene, geometry=tris, geometry_accel=accel)
         jax.block_until_ready(state.xyz)
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            state = integ.render(scene)
+            state = integ.render(scene, geometry=tris,
+                                 geometry_accel=accel)
             jax.block_until_ready(state.xyz)
             times.append(time.perf_counter() - t0)
         dt, _ = _median_iqr(times)
@@ -475,19 +569,19 @@ def bench_mesh_16m():
         n_lights = int(np.asarray(scene.lights.kind).shape[0])
         return dt, n_pixels * 1 * (1 + n_lights) * 2
 
-    dt_super, rays = frame(5)
+    scene.anim_stage_clusters = 128
+    scene.anim_ray_chunk = 16384
+    scene.bump_version()
+    dt_super, rays = frame(acc, 5)
 
     # Single-level leg: same clusters, super_size 1. ray_chunk 2048 keeps
     # the [rays, 250k] f32 entry table at 2 GB (16384 would need 16 GB).
-    from trace_tpu.accel.clusters import ClusterAccelerator, ClusterAccel
-
     flat = ClusterAccel(acc.c_lo, acc.c_hi, acc.c_lo, acc.c_hi,
                         acc.packed, acc.packed_mt, acc.tri_id,
                         acc.leaf_tris, 1)
+    scene.anim_ray_chunk = 2048
     scene.bump_version()
-    scene.accel = ClusterAccelerator(flat, stage_clusters=128,
-                                     ray_chunk=2048)
-    dt_flat, _ = frame(3)
+    dt_flat, _ = frame(flat, 3)
 
     return {
         "n_tris": int(scene.n_triangles),
@@ -605,10 +699,13 @@ def _run_configs_isolated(extras, errors):
         env = dict(os.environ)
         env["BENCH_ONLY"] = name
         env["BENCH_INLINE"] = "1"
+        # mesh1m spawns per-variant kernel-probe grandchildren, each
+        # rebuilding the 1M-tri scene — give it headroom.
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=2400,
+                env=env, capture_output=True, text=True,
+                timeout=3600 if name.startswith("mesh1m") else 2400,
             )
             line = proc.stdout.strip().splitlines()[-1]
             child = json.loads(line)
@@ -645,6 +742,10 @@ def _axon_relay_down():
 
 
 def main():
+    probe = os.environ.get("BENCH_PROBE")
+    if probe:  # grandchild: one isolated kernel variant, one JSON line
+        _probe_main(probe)
+        return
     extras = {}
     errors = {}
     if _axon_relay_down():

@@ -231,6 +231,42 @@ def test_render_animation_batch_mode_matches_sequential(monkeypatch, tmp_path):
     assert max(float(np.abs(np.asarray(a.ld)).max()) for _, a in seq) > 0
 
 
+def test_geometry_accel_prebuilt_tables_match_plain_render():
+    # render(geometry=..., geometry_accel=...) — the huge-static-scene
+    # route (bench config 4b, >10M tris): a PRE-BUILT ClusterAccel rides
+    # in as traced arguments instead of jit-embedded constants. Must
+    # equal the plain render, including with a super-clustered table and
+    # the scene-pinned ray_chunk knob.
+    import pytest
+
+    from trace_tpu.accel.clusters import build_clusters
+
+    scene = _build(T.identity())
+    tris = jax.tree.map(jnp.asarray, scene.triangles_host)
+
+    integ_a = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                max_depth=3)
+    img_a = np.asarray(
+        integ_a.camera.film.to_image(integ_a.render(scene)))
+
+    acc = build_clusters(scene.triangles_host, leaf_tris=8, super_size=4)
+    scene.anim_ray_chunk = 512
+    scene.bump_version()
+    integ_b = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                max_depth=3)
+    img_b = np.asarray(integ_b.camera.film.to_image(
+        integ_b.render(scene, geometry=tris, geometry_accel=acc)))
+
+    assert img_a.max() > 0.01
+    np.testing.assert_allclose(img_b, img_a, atol=2e-3)
+
+    # Composing with geometry_transform is rejected (a pre-built table
+    # would be stale for transformed vertices).
+    with pytest.raises(ValueError):
+        integ_b.render(scene, geometry=tris, geometry_accel=acc,
+                       geometry_transform=T.translate([0.1, 0.0, 0.0]))
+
+
 def test_animated_geometry_second_frame_no_retrace():
     # Frame 2 with different vertices must NOT re-trace _chunk_pass
     # (the whole point: per-frame cost is a device rebuild, not a

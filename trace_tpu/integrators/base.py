@@ -134,7 +134,7 @@ class SamplerIntegrator:
         return state, jax.tree.map(jnp.add, aux, aux_s)
 
     def render(self, scene, geometry=None,
-               geometry_transform=None) -> FilmState:
+               geometry_transform=None, geometry_accel=None) -> FilmState:
         """Render the scene. ``geometry`` (optional): a Triangles pytree
         (device arrays or host numpy; same topology/counts as the scene's)
         that REPLACES the scene's triangle table for this render — the
@@ -158,7 +158,8 @@ class SamplerIntegrator:
         chunk = min(self.pixel_chunk, n)
         spp = self.sampler.samples_per_pixel
         key = jax.random.key(self.sampler.seed)
-        geom = common.prepare_geometry(scene, geometry, geometry_transform)
+        geom = common.prepare_geometry(scene, geometry, geometry_transform,
+                                       accel=geometry_accel)
         # Light table passed as a traced jit argument — animated relights
         # then reuse compiled executables. Uploaded once per light-table
         # object (relights replace scene.lights wholesale).

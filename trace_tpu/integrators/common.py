@@ -279,7 +279,7 @@ def _transform_and_build(tris, xf, leaf: int):
     return tris_f, build_clusters_device(tris_f, leaf)
 
 
-def prepare_geometry(scene, geometry, transform=None):
+def prepare_geometry(scene, geometry, transform=None, accel=None):
     """Device-build traversal tables for per-frame animated geometry.
 
     ``geometry`` is a Triangles pytree (device or host arrays) with the
@@ -304,8 +304,19 @@ def prepare_geometry(scene, geometry, transform=None):
 
     assert num_triangles(geometry) == scene.n_triangles, \
         "animated geometry must keep the scene's topology"
-    leaf = 32 if scene.n_triangles < 300_000 else 64
     tris_dev = jax.tree.map(jnp.asarray, geometry)
+    if accel is not None:
+        # Pre-built accelerator (any ClusterAccel, host or device arrays)
+        # threaded in as TRACED arguments alongside the triangles. This is
+        # how huge static scenes dodge the jit-embedded-constant route:
+        # a >10M-tri table embedded in the program is a ~GB compile
+        # payload, which the remote-compile relay rejects (broken pipe);
+        # as traced args the program stays small and the tables ride h2d.
+        if transform is not None:
+            raise ValueError("geometry_transform requires a device rebuild"
+                             " — omit accel")
+        return (tris_dev, jax.tree.map(jnp.asarray, accel))
+    leaf = 32 if scene.n_triangles < 300_000 else 64
     if transform is not None:
         return _transform_and_build(tris_dev, transform, leaf)
     return (tris_dev, build_clusters_device(tris_dev, leaf))
@@ -323,11 +334,17 @@ def apply_geometry(scene, geom):
     tris, acc = geom
     # Stage width follows SceneBuilder.build's measured big-scene tuning
     # (leaf 64 / stage 128 from ~200k tris: 107 vs 72 Mrays/s at 1M on
-    # v5e); tri count is static under jit (cluster table shape).
+    # v5e); tri count is static under jit (cluster table shape). Scenes
+    # may pin the knobs (anim_stage_clusters / anim_ray_chunk attributes,
+    # static ints) — the >10M-tri traced-table path needs a small
+    # ray_chunk to keep the [rays, supers] entry table in HBM.
     n_tris = acc.tri_id.shape[0] * acc.leaf_tris
-    stage = 128 if n_tris >= 200_000 else 64
+    stage = (getattr(scene, "anim_stage_clusters", None)
+             or (128 if n_tris >= 200_000 else 64))
+    ray_chunk = getattr(scene, "anim_ray_chunk", None) or 16384
     return scene.with_geometry(
-        tris, ClusterAccelerator(acc, stage_clusters=stage))
+        tris, ClusterAccelerator(acc, stage_clusters=stage,
+                                 ray_chunk=ray_chunk))
 
 
 def sanitize_radiance(l):

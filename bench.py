@@ -322,6 +322,8 @@ def _probe_main(variant: str):
             kw["pipeline"] = True
         elif variant == "pallas_bf16_panel":
             kw["panel_bf16"] = True
+        elif variant == "pallas_certified":
+            kw["certified"] = True
         acc = sweep if variant == "pallas_f32" else PallasSweepAccelerator(
             sweep.clusters, group=8, block_rays=sweep.block_rays,
             ray_chunk=sweep.ray_chunk, **kw)
@@ -381,16 +383,22 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
     entry instead of the config, and keeps every timing honest (each
     process times before its first d2h readback, ARCHITECTURE §5b).
 
-      1. kernel A/Bs on a fixed 64k-ray batch — Pallas sweep f32 /
-         pipelined / bf16-panel, XLA cluster sweep with entry_bf16 on/off
-         (the two A/Bs ARCHITECTURE §7 left "pending relay availability");
-      2. cross-checks from the dumped hit arrays — Pallas-vs-XLA hit
-         agreement ON HARDWARE (Mosaic vs XLA compilation of the same
-         test — the driver-visible artifact for the kernel's exactness
-         claim), bf16-panel agreement, roofline from the step counters;
-      3. inline: useful-ray readback, on-device Morton build timed WITH a
-         forced per-iteration readback (real device completion — the
-         async block_until_ready figure recorded alongside).
+      1. inline FIRST (the parent's own device work must complete before
+         any grandchild touches the relay — a grandchild device session
+         invalidates the parent's, observed as "TPU device error" on the
+         parent's next readback): useful-ray readback, on-device Morton
+         build timed WITH a forced per-iteration readback (real device
+         completion — the async block_until_ready figure recorded
+         alongside);
+      2. kernel A/Bs on a fixed 64k-ray batch — Pallas sweep f32 /
+         pipelined / bf16-panel / certified, XLA cluster sweep with
+         entry_bf16 on/off (the two A/Bs ARCHITECTURE §7 left "pending
+         relay availability");
+      3. host-only cross-checks from the dumped hit arrays — Pallas-vs-
+         XLA hit agreement ON HARDWARE (Mosaic vs XLA compilation of the
+         same test — the driver-visible artifact for the kernel's
+         exactness claim), bf16-panel agreement, roofline from the step
+         counters. Every stage is guarded: a fault costs its entry only.
     """
     import subprocess
     import sys
@@ -400,6 +408,38 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
     is_pallas = isinstance(scene.accel, PallasSweepAccelerator)
     res, ab, perrs = {}, {}, {}
     n = 1 << 16
+
+    # --- 1. inline readbacks: useful rays + on-device Morton build ---
+    try:
+        useful = int(jax.device_get(integ_lat.last_useful_rays))
+        res["useful_mrays_256_1spp"] = round(useful / dt_lat / 1e6, 3)
+        res["useful_ray_frac"] = round(useful / rays_lat, 4)
+    except Exception as e:
+        perrs["useful_rays"] = f"{type(e).__name__}: {e}"[:200]
+
+    try:
+        from trace_tpu.accel.morton import build_clusters_device
+
+        tris = jax.tree.map(jnp.asarray, scene.triangles_host)
+        acc = build_clusters_device(tris, 64)  # warm-up (compile)
+        jax.block_until_ready(acc.packed)
+        _ = np.asarray(acc.c_lo[0])  # warm the d2h path (first d2h slow)
+        times_async, times_forced = [], []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            acc = build_clusters_device(tris, 64)
+            jax.block_until_ready(acc.packed)
+            times_async.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            acc = build_clusters_device(tris, 64)
+            np.asarray(acc.c_lo[0])  # forces real completion + d2h
+            times_forced.append(time.perf_counter() - t0)
+        res["device_build_ms"] = round(
+            _median_iqr(times_forced)[0] * 1e3, 3)
+        res["device_build_ms_async"] = round(
+            _median_iqr(times_async)[0] * 1e3, 3)
+    except Exception as e:
+        perrs["device_build"] = f"{type(e).__name__}: {e}"[:200]
 
     def probe(variant, timeout=1200):
         env = dict(os.environ)
@@ -418,7 +458,7 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
             perrs[variant] = f"{type(e).__name__}: {e}"[:200]
             return None
 
-    # --- 1. per-variant grandchild timings ---
+    # --- 2. per-variant grandchild timings ---
     p32 = pb = None
     if is_pallas:
         p32 = probe("pallas_f32")
@@ -433,6 +473,13 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
             ab["pallas_bf16_panel_ms"] = pb["ms"]
             if p32:
                 ab["bf16_panel_speedup"] = round(p32["ms"] / pb["ms"], 3)
+        pc = probe("pallas_certified")
+        if pc:
+            # Cost of exactness: the certified-widened epilogue
+            # (exact_shared_edges on the hot path) vs the plain kernel.
+            ab["pallas_certified_ms"] = pc["ms"]
+            if p32:
+                ab["certified_overhead"] = round(pc["ms"] / p32["ms"], 3)
     xab = probe("xla_ab")
     if xab:
         ab["cluster_entry_bf16_ms"] = xab["entry_bf16_ms"]
@@ -441,7 +488,7 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
             xab["entry_f32_ms"] / xab["entry_bf16_ms"], 3)
     res["kernel_ab"] = ab
 
-    # --- 2. agreement + roofline from the dumped arrays ---
+    # --- 3. agreement + roofline from the dumped arrays (host-only) ---
     if is_pallas and p32:
         xf = probe("xla_full")
         try:
@@ -482,30 +529,6 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
                     flops / dt_f32 / 1e12 / V5E_BF16_TFLOPS, 5),
             }
 
-    # --- 3. inline readbacks: useful rays + on-device Morton build ---
-    useful = int(jax.device_get(integ_lat.last_useful_rays))
-    res["useful_mrays_256_1spp"] = round(useful / dt_lat / 1e6, 3)
-    res["useful_ray_frac"] = round(useful / rays_lat, 4)
-
-    from trace_tpu.accel.morton import build_clusters_device
-
-    tris = jax.tree.map(jnp.asarray, scene.triangles_host)
-    acc = build_clusters_device(tris, 64)  # warm-up (compile)
-    jax.block_until_ready(acc.packed)
-    _ = np.asarray(acc.c_lo[0])  # warm the d2h path (first d2h is slow)
-    times_async, times_forced = [], []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        acc = build_clusters_device(tris, 64)
-        jax.block_until_ready(acc.packed)
-        times_async.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        acc = build_clusters_device(tris, 64)
-        np.asarray(acc.c_lo[0])  # forces real device completion + d2h
-        times_forced.append(time.perf_counter() - t0)
-    res["device_build_ms"] = round(_median_iqr(times_forced)[0] * 1e3, 3)
-    res["device_build_ms_async"] = round(
-        _median_iqr(times_async)[0] * 1e3, 3)
     if perrs:
         res["probe_errors"] = perrs
     return res

@@ -42,9 +42,12 @@ def inverse(t: Transform) -> Transform:
     return Transform(t.inv_m, t.m)
 
 
-def compose(t1: Transform, t2: Transform) -> Transform:
-    """t1 * t2 (applies t2 first)."""
-    return Transform(t1.m @ t2.m, t2.inv_m @ t1.inv_m)
+def compose(t1: Transform, t2: Transform, *rest: Transform) -> Transform:
+    """t1 * t2 * ... (rightmost applies first)."""
+    out = Transform(t1.m @ t2.m, t2.inv_m @ t1.inv_m)
+    for t in rest:
+        out = Transform(out.m @ t.m, t.inv_m @ out.inv_m)
+    return out
 
 
 def translate(delta) -> Transform:

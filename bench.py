@@ -54,6 +54,132 @@ def _median_iqr(times):
     return float(med), float(q3 - q1)
 
 
+# --------------------------------------------------------------------------
+# Execution-honest timing through the axon relay.
+#
+# block_until_ready through the relay returns at ENQUEUE-ACK, not device
+# completion (round 2 shipped a 65 us "1M-element device build" because of
+# it; this round's 11-rep kernel A/Bs reproduced the failure at 43 TB/s
+# apparent HBM). Short timed bursts therefore measure the relay's enqueue
+# rate; only long pipelines that fill the queue backpressure into honesty.
+#
+# The fix used everywhere below: k-DIFFERENCED FORCED timing. Run k copies
+# of the work unit chained by a data dependency — inside ONE jit where
+# possible (fori_loop, so there is no per-unit relay round-trip at all) —
+# force a real d2h readback of the result, and report
+# (T(k_hi) - T(k_lo)) / (k_hi - k_lo): every fixed cost (dispatch floor,
+# readback latency, first-d2h path setup, jit-call overhead) cancels in
+# the difference. What remains is device execution time per unit.
+# --------------------------------------------------------------------------
+
+
+def _force(x):
+    """Force real device completion: a tiny d2h readback of one leaf."""
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+def _warm_d2h():
+    """Pay the relay's one-time first-d2h path setup (~90-105 s) on a tiny
+    transfer, OUTSIDE every timed region. After this, per-dispatch relay
+    latency is degraded (~20 us -> ~2.7 ms, ARCHITECTURE §5b) — which the
+    differenced timers below are immune to."""
+    np.asarray(jax.jit(jnp.sqrt)(jnp.full((8,), 4.0, jnp.float32)))
+
+
+def _relay_floor_ms(reps: int = 5) -> float:
+    """Per-dispatch relay floor (post-d2h-warm), by the same differencing:
+    chained trivial dispatches, forced readback. Recorded so readers can
+    tell when a per-dispatch workload is floor-bound rather than
+    compute-bound."""
+    f = jax.jit(jnp.sqrt)
+    x = jnp.full((8,), 2.0, jnp.float32)
+    np.asarray(f(x))
+
+    def run_k(k):
+        y = x
+        t0 = time.perf_counter()
+        for _ in range(k):
+            y = f(y)
+        np.asarray(y[0])
+        return time.perf_counter() - t0
+
+    run_k(2)
+    ds = [(run_k(16) - run_k(2)) / 14 for _ in range(reps)]
+    return float(np.median(ds) * 1e3)
+
+
+def _diff_time(run_k, k_lo: int, k_hi: int, reps: int = 3) -> float:
+    """Median of (T(k_hi)-T(k_lo))/(k_hi-k_lo); run_k(k) returns the wall
+    seconds of k chained work units + one forced readback."""
+    run_k(k_lo)  # warm (compile + caches)
+    ds = [(run_k(k_hi) - run_k(k_lo)) / (k_hi - k_lo) for _ in range(reps)]
+    return float(np.median(ds))
+
+
+def _frame_exec_timer(integ, scene, geometry=None, geometry_accel=None):
+    """Build an execution-honest per-frame timer for a SamplerIntegrator.
+
+    Returns ``run_k(k) -> wall seconds``: k full frames (every pixel
+    chunk, all spp) inside ONE jit — frames chained through the film
+    state, so XLA must execute them sequentially — then one forced
+    readback. Feed to :func:`_diff_time`. Mirrors
+    SamplerIntegrator.render()'s setup exactly (same chunk shapes and
+    executables via the inlined _chunk_pass)."""
+    from trace_tpu.integrators import common
+
+    film = integ.camera.film
+    pixels = integ._pixel_grid()
+    n = pixels.shape[0]
+    chunk = min(integ.pixel_chunk, n)
+    parts, valids = [], []
+    for start in range(0, n, chunk):
+        part = pixels[start:start + chunk]
+        valid = np.ones(part.shape[0], bool)
+        if part.shape[0] < chunk:
+            pad = chunk - part.shape[0]
+            part = np.concatenate([part, np.zeros((pad, 2), np.int32)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        parts.append(part)
+        valids.append(valid)
+    parts = jnp.asarray(np.stack(parts))      # [C, chunk, 2]
+    valids = jnp.asarray(np.stack(valids))    # [C, chunk]
+    key = jax.random.key(integ.sampler.seed)
+    lights_dev = jax.tree.map(jnp.asarray, scene.lights)
+    geom = common.prepare_geometry(scene, geometry, None,
+                                   accel=geometry_accel)
+    n_chunks = int(parts.shape[0])
+
+    def loop(k, state, aux, parts_, valids_, key_, lights_, geom_):
+        def frame_body(j, carry):
+            # Fold the frame index into the key: every frame is a REAL
+            # re-render (fresh sample set), and nothing in the radiance
+            # computation is loop-invariant — XLA's while-loop LICM
+            # would otherwise hoist the whole li() out of the loop,
+            # leaving only the film accumulation to be timed.
+            kj = jax.random.fold_in(key_, j)
+            def chunk_body(i, c):
+                st, ax = c
+                return integ._chunk_pass(scene, st, ax, parts_[i],
+                                         valids_[i], kj, lights_, geom_)
+            return jax.lax.fori_loop(0, n_chunks, chunk_body, carry)
+        return jax.lax.fori_loop(0, k, frame_body, (state, aux))
+
+    jl = jax.jit(loop)
+
+    def run_k(k):
+        state = film.initial_state()
+        aux = {"queue_drops": jnp.zeros((), jnp.int32),
+               "useful_rays": jnp.zeros((), jnp.int32)}
+        t0 = time.perf_counter()
+        out = jl(jnp.int32(k), state, aux, parts, valids, key,
+                 lights_dev, geom)
+        _force(out[0].xyz)
+        return time.perf_counter() - t0
+
+    return run_k
+
+
 def bench_whitted_shadows():
     """Config 1: shadows scene, Whitted, 256², depth 5."""
     from trace_tpu.models.spheres import build_scene, build_camera
@@ -71,13 +197,22 @@ def bench_whitted_shadows():
     state = integ.render(scene)  # warm-up (compile)
     jax.block_until_ready(state.xyz)
 
+    # Dispatch-pipeline rate (wall through the relay, no readbacks): what
+    # a user streaming frames without syncing sees. NOT device-exec time.
     times = []
     for _ in range(10):
         t0 = time.perf_counter()
         state = integ.render(scene)
         jax.block_until_ready(state.xyz)
         times.append(time.perf_counter() - t0)
-    dt, iqr = _median_iqr(times)
+    dt_pipe, iqr = _median_iqr(times)
+
+    # Device-execution time per frame: k frames in ONE jit, forced
+    # readback, k-differenced (see the timing block at the top).
+    useful = int(jax.device_get(integ.last_useful_rays))  # also warms d2h
+    run_k = _frame_exec_timer(integ, scene)
+    dt = _diff_time(run_k, 2, 10)
+    floor_ms = _relay_floor_ms()
 
     (x0, y0), (x1, y1) = camera.film.sample_bounds()
     n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
@@ -86,15 +221,15 @@ def bench_whitted_shadows():
     mrays = total_rays / dt / 1e6
     # Useful rays: live-lane closest + shadow rays only (masked-dead
     # wavefront lanes excluded) — the honest Mrays numerator, counted on
-    # device by the integrator and synced ONCE here, after all timing
-    # (a mid-run readback would poison relay dispatch latency, §5b).
-    useful = int(jax.device_get(integ.last_useful_rays))
+    # device by the integrator.
     return {
         "mrays": round(mrays, 3),
         "useful_mrays": round(useful / dt / 1e6, 3),
         "useful_ray_frac": round(useful / total_rays, 4),
         "ms": round(dt * 1e3, 3),
-        "iqr_ms": round(iqr * 1e3, 3),
+        "ms_pipeline": round(dt_pipe * 1e3, 3),
+        "iqr_pipeline_ms": round(iqr * 1e3, 3),
+        "relay_floor_ms": round(floor_ms, 3),
     }
 
 
@@ -121,7 +256,11 @@ def bench_cornell_path():
         state = integ.render(scene)
         jax.block_until_ready(state.xyz)
         times.append(time.perf_counter() - t0)
-    dt, _ = _median_iqr(times)
+    dt_pipe, _ = _median_iqr(times)
+
+    useful = int(jax.device_get(integ.last_useful_rays))  # warms d2h too
+    run_k = _frame_exec_timer(integ, scene)
+    dt = _diff_time(run_k, 1, 5)
 
     (x0, y0), (x1, y1) = camera.film.sample_bounds()
     n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
@@ -129,11 +268,11 @@ def bench_cornell_path():
     # uniform_sample_one_light legs (NEE shadow + BSDF-MIS visibility).
     total_rays = n_pixels * spp * max_depth * 3
     # Honest numerator: live-path rays only (see bench_whitted_shadows).
-    useful = int(jax.device_get(integ.last_useful_rays))
     return {"mrays": round(total_rays / dt / 1e6, 3),
             "useful_mrays": round(useful / dt / 1e6, 3),
             "useful_ray_frac": round(useful / total_rays, 4),
-            "ms": round(dt * 1e3, 3)}
+            "ms": round(dt * 1e3, 3),
+            "ms_pipeline": round(dt_pipe * 1e3, 3)}
 
 
 def bench_sppm_caustic():
@@ -169,11 +308,29 @@ def bench_sppm_caustic():
                          n_iterations=n_timed if fused_k > 0 else 2)
     jax.block_until_ready(state.tau)
 
+    # Dispatch-pipeline rate (enqueue-bound lower envelope — see the
+    # timing block at the top; NOT device-exec time).
     t0 = time.perf_counter()
     state = integ.render(scene, n_iterations=n_timed)
     jax.block_until_ready(state.tau)
-    dt = (time.perf_counter() - t0) / n_timed
-    res = {"ms_per_iter": round(dt * 1e3, 3)}
+    dt_pipe = (time.perf_counter() - t0) / n_timed
+
+    # Execution-honest per-iteration time: k iterations (k chained
+    # dispatches at fused_block=1), forced readback, k-differenced. Each
+    # iteration is one dispatch, so the result is max(relay floor, device
+    # exec) — the floor is recorded alongside for that comparison.
+    _warm_d2h()
+
+    def run_k(k):
+        t0 = time.perf_counter()
+        st = integ.render(scene, n_iterations=k)
+        _force(st.tau)
+        return time.perf_counter() - t0
+
+    dt = _diff_time(run_k, 4, 14)
+    res = {"ms_per_iter": round(dt * 1e3, 3),
+           "ms_per_iter_pipeline": round(dt_pipe * 1e3, 3),
+           "relay_floor_ms": round(_relay_floor_ms(), 3)}
     if fused_k == 1:
         # Roofline of the fused iteration: XLA cost analysis of the very
         # executable just timed (same shapes/statics -> compile-cache
@@ -218,30 +375,25 @@ def bench_mesh_1m():
     scene = build_scene()  # scene default: Pallas sweep on TPU
     build_s = time.perf_counter() - tb0
 
-    def run(res, spp, reps):
+    def run(res, spp, k_lo, k_hi):
         camera = build_camera(resolution=res,
                               filename="/tmp/bench_mesh1m.png")
         integ = WhittedIntegrator(
             camera, UniformSampler(spp, seed=0), max_depth=max_depth,
             pixel_chunk=1 << 18,
         )
-        state = integ.render(scene)
-        jax.block_until_ready(state.xyz)
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            state = integ.render(scene)
-            jax.block_until_ready(state.xyz)
-            times.append(time.perf_counter() - t0)
-        dt, _ = _median_iqr(times)
+        state = integ.render(scene)  # compile
+        _force(state.xyz)            # surface any kernel fault HERE
+        run_k = _frame_exec_timer(integ, scene)
+        dt = _diff_time(run_k, k_lo, k_hi)
         (x0, y0), (x1, y1) = camera.film.sample_bounds()
         n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
         n_lights = int(np.asarray(scene.lights.kind).shape[0])
         total_rays = n_pixels * spp * (1 + n_lights) * max_depth
         return dt, total_rays, integ
 
-    dt_lat, rays_lat, integ_lat = run(256, 1, 7)
-    dt_thr, rays_thr, _ = run(512, 4, 5)
+    dt_lat, rays_lat, integ_lat = run(256, 1, 2, 8)
+    dt_thr, rays_thr, _ = run(512, 4, 1, 4)
 
     out = {
         "mrays": round(rays_thr / dt_thr / 1e6, 3),
@@ -259,7 +411,9 @@ def bench_mesh_1m():
 
 
 def _time_fn(fn, *args, reps: int = 11):
-    """Median wall time of ``fn(*args)`` with block_until_ready."""
+    """Median wall time of ``fn(*args)`` with block_until_ready. Through
+    the axon relay this is an ENQUEUE rate (see the timing block at the
+    top) — recorded as ms_enqueue for transparency, never as exec time."""
     out = fn(*args)
     jax.block_until_ready(out)  # warm-up / compile
     times = []
@@ -269,6 +423,55 @@ def _time_fn(fn, *args, reps: int = 11):
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     return _median_iqr(times)[0], out
+
+
+def _live_zero(*trees):
+    """A scalar that is always 0.0 yet keeps EVERY array leaf of every
+    tree live: full reductions (min needs all lanes) summed, then
+    min(total, 0). Float x*0 / int*0 constant-fold — and then XLA
+    dead-code-eliminates the producing computation out of timing loops
+    (observed: an "empty" loop times at 0.2 us) or narrows it to the one
+    element a naive x[0] chain demands. min(|finite-or-inf|, 0) is not
+    foldable (the operand is not provably non-NaN/finite to the
+    compiler), so the full computation must run every iteration."""
+    tot = jnp.zeros((), jnp.float32)
+    for tr in trees:
+        for leaf in jax.tree.leaves(tr):
+            if not hasattr(leaf, "dtype"):
+                continue
+            m = jnp.min(leaf)
+            if not jnp.issubdtype(leaf.dtype, jnp.floating):
+                m = m.astype(jnp.float32)
+            tot = tot + jnp.abs(m.astype(jnp.float32))
+    return jnp.minimum(tot, jnp.zeros((), jnp.float32))
+
+
+def _kernel_exec_ms(sweep3, o, d, t_max, k_lo: int = 2, k_hi: int = 8):
+    """Execution-honest kernel time: k chained sweeps in ONE jit — every
+    output of sweep i feeds a (provably-unprovable) zero into sweep i+1's
+    t_max, a data dependency XLA can neither elide nor narrow — then a
+    forced readback, k-differenced. ``sweep3(o, d, t_max) -> (hit, t,
+    idx)``."""
+    def loop(o_, d_, t_, k):
+        def body(i, carry):
+            # carry (always 0.0, unprovably so) perturbs EVERY input:
+            # otherwise XLA's while-loop LICM hoists any sub-computation
+            # that depends only on invariant inputs out of the loop
+            # (observed: the demand-ordering stage hoisted, halving the
+            # apparent kernel time).
+            outs = sweep3(o_ + carry, d_ + carry, t_ + carry)
+            return _live_zero(outs)
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+
+    jl = jax.jit(loop)
+    np.asarray(jl(o, d, t_max, 1))  # compile + first-d2h path warm-up
+
+    def run_k(k):
+        t0 = time.perf_counter()
+        np.asarray(jl(o, d, t_max, k))
+        return time.perf_counter() - t0
+
+    return _diff_time(run_k, k_lo, k_hi) * 1e3
 
 
 # v5e single-chip peaks (public spec): the roofline denominators.
@@ -297,12 +500,11 @@ def _probe_main(variant: str):
     """Grandchild body (env BENCH_PROBE=<variant>): rebuild the config-4
     scene deterministically, run ONE kernel variant on the fixed ray
     batch, read the hit arrays back (dumped to /tmp for the parent's
-    agreement checks), print one JSON line. Readbacks happen strictly
-    after timing — a d2h permanently degrades relay dispatch latency
-    (~20us -> ~2.7ms, ARCHITECTURE §5b) — but within one process per
-    variant, so that ordering constraint no longer couples variants."""
-    import functools
-
+    agreement checks), print one JSON line. The enqueue-rate number is
+    taken before any d2h (which degrades relay dispatch latency,
+    ~20us -> ~2.7ms, ARCHITECTURE §5b); the primary ``ms`` is the
+    k-differenced in-jit execution time (_kernel_exec_ms), immune to
+    both the degradation and the enqueue-ack lie."""
     from trace_tpu.models.mesh_heavy import build_scene
     from trace_tpu.accel.clusters import ClusterAccelerator, traverse
     from trace_tpu.ops.sweep_pallas import PallasSweepAccelerator
@@ -329,7 +531,10 @@ def _probe_main(variant: str):
             ray_chunk=sweep.ray_chunk, **kw)
         fn = jax.jit(lambda o_, d_, t_: acc._chunked(o_, d_, t_, False))
         dt, outs = _time_fn(fn, o, d, t_max)
-        out["ms"] = round(dt * 1e3, 3)
+        out["ms_enqueue"] = round(dt * 1e3, 3)
+        out["ms"] = round(_kernel_exec_ms(
+            lambda o_, d_, t_: acc._chunked(o_, d_, t_, False),
+            o, d, t_max), 3)
         h, t, i = (np.asarray(x) for x in outs)  # forced readback
         np.savez(f"/tmp/bench_probe_{variant}.npz", h=h, t=t, i=i)
         out["hits"] = int(h.sum())
@@ -348,24 +553,24 @@ def _probe_main(variant: str):
         cl = sweep.clusters  # same accel structure either way
 
         def cluster_fn(entry_bf16):
-            return jax.jit(functools.partial(
-                lambda o_, d_, t_, eb: traverse(
-                    cl, o_, d_, t_, 128, False, entry_bf16=eb),
-                eb=entry_bf16))
+            return lambda o_, d_, t_: traverse(
+                cl, o_, d_, t_, 128, False, entry_bf16=entry_bf16)
 
-        dt1, _ = _time_fn(cluster_fn(True), o[:16384], d[:16384],
-                          t_max[:16384])
-        dt0, _ = _time_fn(cluster_fn(False), o[:16384], d[:16384],
-                          t_max[:16384])
-        out["entry_bf16_ms"] = round(dt1 * 1e3, 3)
-        out["entry_f32_ms"] = round(dt0 * 1e3, 3)
+        ok, dk, tk = o[:16384], d[:16384], t_max[:16384]
+        out["entry_bf16_ms"] = round(
+            _kernel_exec_ms(cluster_fn(True), ok, dk, tk), 3)
+        out["entry_f32_ms"] = round(
+            _kernel_exec_ms(cluster_fn(False), ok, dk, tk), 3)
     elif variant == "xla_full":
         xla = ClusterAccelerator(sweep.clusters, stage_clusters=128,
                                  ray_chunk=getattr(sweep, "ray_chunk",
                                                    16384))
         fn = jax.jit(lambda o_, d_, t_: xla._chunked(o_, d_, t_, False))
         dt, outs = _time_fn(fn, o, d, t_max, reps=3)
-        out["ms"] = round(dt * 1e3, 3)
+        out["ms_enqueue"] = round(dt * 1e3, 3)
+        out["ms"] = round(_kernel_exec_ms(
+            lambda o_, d_, t_: xla._chunked(o_, d_, t_, False),
+            o, d, t_max, k_lo=1, k_hi=4), 3)
         h, t, i = (np.asarray(x) for x in outs)
         np.savez("/tmp/bench_probe_xla_full.npz", h=h, t=t, i=i)
         out["hits"] = int(h.sum())
@@ -424,24 +629,38 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
         acc = build_clusters_device(tris, 64)  # warm-up (compile)
         jax.block_until_ready(acc.packed)
         _ = np.asarray(acc.c_lo[0])  # warm the d2h path (first d2h slow)
-        times_async, times_forced = [], []
-        for _ in range(7):
+
+        # k chained builds in ONE jit (each build's input is offset by a
+        # zero derived from the previous build's output), forced readback,
+        # k-differenced: pure device execution time for the 1M-element
+        # Morton argsort + gather/pack — immune to the enqueue-ack lie
+        # that produced round 2's 65 us artifact.
+        def build_loop(k, tris_):
+            def body(i, carry):
+                t2 = jax.tree.map(
+                    lambda x: x + carry
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    tris_)
+                a = build_clusters_device(t2, 64)
+                # keep every output table live (see _live_zero) — a
+                # single-element chain lets XLA drop the pack stage.
+                return _live_zero(a)
+            return jax.lax.fori_loop(0, k, body,
+                                     jnp.zeros((), jnp.float32))
+
+        jb = jax.jit(build_loop)
+        np.asarray(jb(1, tris))
+
+        def run_k(k):
             t0 = time.perf_counter()
-            acc = build_clusters_device(tris, 64)
-            jax.block_until_ready(acc.packed)
-            times_async.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            acc = build_clusters_device(tris, 64)
-            np.asarray(acc.c_lo[0])  # forces real completion + d2h
-            times_forced.append(time.perf_counter() - t0)
-        res["device_build_ms"] = round(
-            _median_iqr(times_forced)[0] * 1e3, 3)
-        res["device_build_ms_async"] = round(
-            _median_iqr(times_async)[0] * 1e3, 3)
+            np.asarray(jb(k, tris))
+            return time.perf_counter() - t0
+
+        res["device_build_ms"] = round(_diff_time(run_k, 1, 5) * 1e3, 3)
     except Exception as e:
         perrs["device_build"] = f"{type(e).__name__}: {e}"[:200]
 
-    def probe(variant, timeout=1200):
+    def probe(variant, timeout=1800):
         env = dict(os.environ)
         env["BENCH_PROBE"] = variant
         try:
@@ -570,7 +789,7 @@ def bench_mesh_16m():
         (acc.packed_mt, acc.tri_id, acc.c_lo, acc.c_hi, acc.s_lo, acc.s_hi)
     ) / 1e6
 
-    def frame(accel, reps):
+    def frame(accel, k_lo, k_hi):
         camera = build_camera(resolution=256,
                               filename="/tmp/bench_mesh16m.png")
         integ = WhittedIntegrator(
@@ -578,15 +797,10 @@ def bench_mesh_16m():
             pixel_chunk=1 << 18,
         )
         state = integ.render(scene, geometry=tris, geometry_accel=accel)
-        jax.block_until_ready(state.xyz)
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            state = integ.render(scene, geometry=tris,
-                                 geometry_accel=accel)
-            jax.block_until_ready(state.xyz)
-            times.append(time.perf_counter() - t0)
-        dt, _ = _median_iqr(times)
+        _force(state.xyz)  # surface any fault here; warms d2h
+        run_k = _frame_exec_timer(integ, scene, geometry=tris,
+                                  geometry_accel=accel)
+        dt = _diff_time(run_k, k_lo, k_hi, reps=1)
         (x0, y0), (x1, y1) = camera.film.sample_bounds()
         n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
         n_lights = int(np.asarray(scene.lights.kind).shape[0])
@@ -595,7 +809,7 @@ def bench_mesh_16m():
     scene.anim_stage_clusters = 128
     scene.anim_ray_chunk = 16384
     scene.bump_version()
-    dt_super, rays = frame(acc, 5)
+    dt_super, rays = frame(acc, 1, 2)
 
     # Single-level leg: same clusters, super_size 1. ray_chunk 2048 keeps
     # the [rays, 250k] f32 entry table at 2 GB (16384 would need 16 GB).
@@ -604,7 +818,7 @@ def bench_mesh_16m():
                         acc.leaf_tris, 1)
     scene.anim_ray_chunk = 2048
     scene.bump_version()
-    dt_flat, _ = frame(flat, 3)
+    dt_flat, _ = frame(flat, 1, 2)
 
     return {
         "n_tris": int(scene.n_triangles),
@@ -644,18 +858,27 @@ def bench_animated_relight():
     def frame(shift):
         set_frame_lights(scene, float(shift))
         xf = T.translate([0.0, 0.002 * float(shift), 0.0])
-        st = integ.render(scene, n_iterations=2, geometry=base_tris,
-                          geometry_transform=xf)
-        jax.block_until_ready(st.tau)
+        return integ.render(scene, n_iterations=2, geometry=base_tris,
+                            geometry_transform=xf)
 
-    frame(0.0)  # warm-up (compile)
-    times = []
-    for i, shift in enumerate(np.arange(0.1, 0.8, 0.1)):
+    jax.block_until_ready(frame(0.0).tau)  # warm-up (compile)
+    _warm_d2h()
+
+    # Execution-honest per-frame time: k frames (each a device rebuild
+    # dispatch + one fused 2-iteration SPPM dispatch), forced readback of
+    # the last frame's tau, k-differenced. Frames chain through the relay
+    # queue, so the difference is max(per-frame exec, dispatch floors).
+    def run_k(k):
+        st = None
         t0 = time.perf_counter()
-        frame(shift)
-        times.append(time.perf_counter() - t0)
-    dt, _ = _median_iqr(times)
-    return {"ms_per_frame": round(dt * 1e3, 3)}
+        for i in range(k):
+            st = frame(0.1 + 0.1 * i)
+        _force(st.tau)
+        return time.perf_counter() - t0
+
+    dt = _diff_time(run_k, 2, 7, reps=2)
+    return {"ms_per_frame": round(dt * 1e3, 3),
+            "relay_floor_ms": round(_relay_floor_ms(), 3)}
 
 
 CONFIGS = [
@@ -728,7 +951,7 @@ def _run_configs_isolated(extras, errors):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,
-                timeout=3600 if name.startswith("mesh1m") else 2400,
+                timeout=5400 if name.startswith("mesh1m") else 3000,
             )
             line = proc.stdout.strip().splitlines()[-1]
             child = json.loads(line)

@@ -806,10 +806,26 @@ def bench_mesh_16m():
         n_lights = int(np.asarray(scene.lights.kind).shape[0])
         return dt, n_pixels * 1 * (1 + n_lights) * 2
 
+    # Headline leg: the Pallas sparse sweep on traced tables — demand-
+    # ordered supers with per-step panel DMA, so a coherent frame touches
+    # a few hundred MB of panels instead of scanning the full table.
+    # G=64 -> GL 4096 (grids [128, 4096] fit VMEM), S=3906 supers.
+    from trace_tpu.ops.sweep_pallas import PallasSweepAccelerator
+
+    t0 = time.perf_counter()
+    sweep = PallasSweepAccelerator(acc, group=64, block_rays=128,
+                                   ray_chunk=8192)
+    pack_s = time.perf_counter() - t0
+    scene.anim_block_rays = 128
+    scene.anim_ray_chunk = 8192
+    scene.bump_version()
+    dt_pallas, rays = frame(sweep, 1, 3)
+
+    scene.anim_block_rays = None
     scene.anim_stage_clusters = 128
     scene.anim_ray_chunk = 16384
     scene.bump_version()
-    dt_super, rays = frame(acc, 1, 2)
+    dt_super, _ = frame(acc, 1, 2)
 
     # Single-level leg: same clusters, super_size 1. ray_chunk 2048 keeps
     # the [rays, 250k] f32 entry table at 2 GB (16384 would need 16 GB).
@@ -824,7 +840,10 @@ def bench_mesh_16m():
         "n_tris": int(scene.n_triangles),
         "gen_s": round(gen_s, 2),
         "build_s": round(build_s, 2),
+        "pack_s": round(pack_s, 2),
         "table_mb": round(table_mb, 1),
+        "ms_256_1spp_pallas": round(dt_pallas * 1e3, 3),
+        "mrays_pallas": round(rays / dt_pallas / 1e6, 3),
         "ms_256_1spp_super32": round(dt_super * 1e3, 3),
         "mrays_super32": round(rays / dt_super / 1e6, 3),
         "ms_256_1spp_flat_chunk2048": round(dt_flat * 1e3, 3),

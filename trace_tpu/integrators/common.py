@@ -306,15 +306,20 @@ def prepare_geometry(scene, geometry, transform=None, accel=None):
         "animated geometry must keep the scene's topology"
     tris_dev = jax.tree.map(jnp.asarray, geometry)
     if accel is not None:
-        # Pre-built accelerator (any ClusterAccel, host or device arrays)
-        # threaded in as TRACED arguments alongside the triangles. This is
-        # how huge static scenes dodge the jit-embedded-constant route:
-        # a >10M-tri table embedded in the program is a ~GB compile
-        # payload, which the remote-compile relay rejects (broken pipe);
-        # as traced args the program stays small and the tables ride h2d.
+        # Pre-built accelerator threaded in as TRACED arguments alongside
+        # the triangles. This is how huge static scenes dodge the
+        # jit-embedded-constant route: a >10M-tri table embedded in the
+        # program is a ~GB compile payload, which the remote-compile
+        # relay rejects (broken pipe); as traced args the program stays
+        # small and the tables ride h2d. Accepts a ClusterAccel (XLA
+        # cluster sweep), a PallasSweepAccelerator or its SweepTables
+        # (Pallas sparse sweep — the fast path at this scale).
         if transform is not None:
             raise ValueError("geometry_transform requires a device rebuild"
                              " — omit accel")
+        from ..ops.sweep_pallas import PallasSweepAccelerator
+        if isinstance(accel, PallasSweepAccelerator):
+            accel = accel.tables
         return (tris_dev, jax.tree.map(jnp.asarray, accel))
     leaf = 32 if scene.n_triangles < 300_000 else 64
     if transform is not None:
@@ -330,8 +335,22 @@ def apply_geometry(scene, geom):
     if geom is None:
         return scene
     from ..accel.clusters import ClusterAccelerator
+    from ..ops.sweep_pallas import PallasSweepAccelerator, SweepTables
 
     tris, acc = geom
+    if isinstance(acc, SweepTables):
+        # Traced Pallas sweep tables (huge static scenes): wrap without
+        # any host packing. Knobs are static scene attributes; 128-ray
+        # blocks keep the [B, GL] determinant grids inside ~16 MB VMEM
+        # at GL=4096 (the >10M-tri shape).
+        sweep = PallasSweepAccelerator.from_tables(
+            acc,
+            block_rays=getattr(scene, "anim_block_rays", None) or 128,
+            ray_chunk=getattr(scene, "anim_ray_chunk", None) or 8192,
+            interpret=jax.default_backend() != "tpu",
+            certified=bool(getattr(scene, "exact_edges", False)),
+        )
+        return scene.with_geometry(tris, sweep)
     # Stage width follows SceneBuilder.build's measured big-scene tuning
     # (leaf 64 / stage 128 from ~200k tris: 107 vs 72 Mrays/s at 1M on
     # v5e); tri count is static under jit (cluster table shape). Scenes

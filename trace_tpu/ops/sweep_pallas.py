@@ -152,6 +152,28 @@ class SweepTables:
         self.leaf_tris = l
 
 
+def _sweep_tables_flatten(tb):
+    return ((tb.panel, tb.slot_to_tri, tb.s_lo, tb.s_hi),
+            (tb.n_supers, tb.group, tb.leaf_tris, tb.gl_pad,
+             tb.panel_bf16))
+
+
+def _sweep_tables_unflatten(aux, leaves):
+    tb = object.__new__(SweepTables)
+    tb.panel, tb.slot_to_tri, tb.s_lo, tb.s_hi = leaves
+    (tb.n_supers, tb.group, tb.leaf_tris, tb.gl_pad,
+     tb.panel_bf16) = aux
+    return tb
+
+
+# SweepTables is a pytree so huge-scene tables can be threaded through
+# jit boundaries as TRACED arguments (integrators.common.prepare_geometry)
+# instead of being embedded as constants — a >10M-tri panel is ~1 GB of
+# jit constant, which the remote-compile relay rejects (broken pipe).
+jax.tree_util.register_pytree_node(
+    SweepTables, _sweep_tables_flatten, _sweep_tables_unflatten)
+
+
 def _sweep_kernel(any_hit, n_supers, certified, collect_stats,
                   idx_ref, suffix_ref,            # SMEM per block
                   rays_ref,                        # VMEM [16, B]
@@ -388,6 +410,33 @@ class PallasSweepAccelerator:
             1.0 / np.maximum(hi - lo, 1e-12)
         ).astype(np.float32)
 
+    @classmethod
+    def from_tables(cls, tables: SweepTables, *, block_rays: int = 128,
+                    ray_chunk: int = 8192, sort_rays: bool = True,
+                    interpret: bool = False, pipeline: bool = False,
+                    certified: bool = False):
+        """Wrap pre-packed (possibly TRACED) kernel tables directly —
+        the huge-static-scene path: the caller packs SweepTables on host
+        once, threads them through the jit boundary as arguments
+        (prepare_geometry/apply_geometry), and this wrapper runs the
+        kernel on them without a ClusterAccel or any host packing. World
+        bounds for ray sorting are reduced from the (traced) super boxes
+        inside the jit (_chunked)."""
+        self = object.__new__(cls)
+        self.clusters = None
+        self.tables = tables
+        self.block_rays = int(block_rays)
+        self.ray_chunk = int(ray_chunk)
+        self.sort_rays = bool(sort_rays)
+        self.interpret = bool(interpret)
+        self.pipeline = bool(pipeline)
+        self.certified = bool(certified)
+        self.collect_stats = False
+        self._last_steps = None
+        self._world_lo = None   # traced tables: reduce lazily in-jit
+        self._world_inv_extent = None
+        return self
+
     def refit(self, v0, v1, v2) -> None:
         """Refresh geometry for moved vertices with fixed topology: refit
         the underlying ClusterAccel, then repack the kernel tables (the
@@ -531,10 +580,14 @@ class PallasSweepAccelerator:
             return self._traverse_chunk(o, d, t_max, any_hit)
         order = None
         if self.sort_rays:
-            key = _sort_key(
-                o, d, jnp.asarray(self._world_lo),
-                jnp.asarray(self._world_inv_extent),
-            )
+            if self._world_lo is None:  # from_tables: traced super boxes
+                lo = jnp.min(jnp.asarray(self.tables.s_lo), axis=0)
+                hi = jnp.max(jnp.asarray(self.tables.s_hi), axis=0)
+                w_lo, w_inv = lo, 1.0 / jnp.maximum(hi - lo, 1e-12)
+            else:
+                w_lo = jnp.asarray(self._world_lo)
+                w_inv = jnp.asarray(self._world_inv_extent)
+            key = _sort_key(o, d, w_lo, w_inv)
             order = jnp.argsort(key)
             o, d, t_max = o[order], d[order], t_max[order]
         outs = []

@@ -48,6 +48,28 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 NORTH_STAR_MRAYS = 100.0
 
+# --------------------------------------------------------------------------
+# Global wall-clock budget (round-3 postmortem: BENCH_r03 was rc=124 with an
+# EMPTY tail — the rewritten bench could run ~5.7 h of per-config timeouts
+# and printed its one JSON line only after every config finished, so the
+# driver's kill lost every number already measured). Three fixes here:
+#   1. the cumulative JSON line is RE-PRINTED after every config (flushed):
+#      the stdout tail always parses to everything measured so far, no
+#      matter where a kill lands;
+#   2. a global budget (env BENCH_BUDGET_S) is checked before each config;
+#      configs that no longer fit are recorded as {"skipped": "budget"}
+#      instead of being started and killed;
+#   3. configs run headline-first (1 -> 3 -> 4 -> 2 -> 5 -> 16M) and the
+#      heavy tails (16M scene, kernel-probe grandchildren) are gated on
+#      remaining budget.
+# --------------------------------------------------------------------------
+_BENCH_T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 5400))
+
+
+def _remaining_s() -> float:
+    return BUDGET_S - (time.monotonic() - _BENCH_T0)
+
 
 def _median_iqr(times):
     q1, med, q3 = np.percentile(times, [25, 50, 75])
@@ -524,6 +546,13 @@ def _probe_main(variant: str):
             kw["pipeline"] = True
         elif variant == "pallas_bf16_panel":
             kw["panel_bf16"] = True
+        elif variant == "pallas_bf16_hilo":
+            kw["panel_hilo"] = True
+        elif variant == "pallas_bf16_cert":
+            # Half-DMA certified superset: bf16 panel + epilogue widened
+            # by BF16_PANEL_ERR_EPS (never drops an f32 hit).
+            kw["panel_bf16"] = True
+            kw["certified"] = True
         elif variant == "pallas_certified":
             kw["certified"] = True
         acc = sweep if variant == "pallas_f32" else PallasSweepAccelerator(
@@ -661,12 +690,20 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
         perrs["device_build"] = f"{type(e).__name__}: {e}"[:200]
 
     def probe(variant, timeout=1800):
+        # Budget gate (round-3 postmortem): a grandchild costs ~100-400 s;
+        # with the child's own budget nearly spent, record the skip
+        # instead of starting a probe the parent would kill mid-flight.
+        left = _remaining_s()
+        if left - 30 < 120:
+            perrs[variant] = "skipped: budget"
+            return None
         env = dict(os.environ)
         env["BENCH_PROBE"] = variant
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=timeout,
+                env=env, capture_output=True, text=True,
+                timeout=min(timeout, max(60, left - 30)),
             )
             if proc.returncode != 0:
                 tail = (proc.stderr or proc.stdout).strip()[-200:]
@@ -677,21 +714,16 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
             perrs[variant] = f"{type(e).__name__}: {e}"[:200]
             return None
 
-    # --- 2. per-variant grandchild timings ---
-    p32 = pb = None
+    # --- 2. per-variant grandchild timings, load-bearing first:
+    # f32 baseline -> XLA agreement leg -> certified overhead (the
+    # exact_shared_edges default decision) -> bf16 A/Bs -> pipelined.
+    p32 = pb = ph = pbc = xf = None
     if is_pallas:
         p32 = probe("pallas_f32")
         if p32:
             ab["pallas_f32_ms"] = p32["ms"]
             ab["pallas_f32_mrays"] = round(n / p32["ms"] * 1e3 / 1e6, 1)
-        pp = probe("pallas_pipelined")
-        if pp:
-            ab["pallas_pipelined_ms"] = pp["ms"]
-        pb = probe("pallas_bf16_panel")
-        if pb:
-            ab["pallas_bf16_panel_ms"] = pb["ms"]
-            if p32:
-                ab["bf16_panel_speedup"] = round(p32["ms"] / pb["ms"], 3)
+        xf = probe("xla_full")
         pc = probe("pallas_certified")
         if pc:
             # Cost of exactness: the certified-widened epilogue
@@ -699,6 +731,29 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
             ab["pallas_certified_ms"] = pc["ms"]
             if p32:
                 ab["certified_overhead"] = round(pc["ms"] / p32["ms"], 3)
+        pb = probe("pallas_bf16_panel")
+        if pb:
+            ab["pallas_bf16_panel_ms"] = pb["ms"]
+            if p32:
+                ab["bf16_panel_speedup"] = round(p32["ms"] / pb["ms"], 3)
+        ph = probe("pallas_bf16_hilo")
+        if ph:
+            # Near-exact half-precision panels: hi/lo double-bf16 split
+            # (f32 ~ f32(hi)+f32(lo) to ~2^-18) — same DMA bytes as f32;
+            # the agreement check below is the gate.
+            ab["pallas_bf16_hilo_ms"] = ph["ms"]
+            if p32:
+                ab["bf16_hilo_overhead"] = round(ph["ms"] / p32["ms"], 3)
+        pbc = probe("pallas_bf16_cert")
+        if pbc:
+            # Half-DMA certified superset: bf16 panel + bf16-sized
+            # widening. Gate below: every f32 hit must survive.
+            ab["pallas_bf16_cert_ms"] = pbc["ms"]
+            if p32:
+                ab["bf16_cert_speedup"] = round(p32["ms"] / pbc["ms"], 3)
+        pp = probe("pallas_pipelined")
+        if pp:
+            ab["pallas_pipelined_ms"] = pp["ms"]
     xab = probe("xla_ab")
     if xab:
         ab["cluster_entry_bf16_ms"] = xab["entry_bf16_ms"]
@@ -709,7 +764,6 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
 
     # --- 3. agreement + roofline from the dumped arrays (host-only) ---
     if is_pallas and p32:
-        xf = probe("xla_full")
         try:
             a = np.load("/tmp/bench_probe_pallas_f32.npz")
             h_p, t_p, i_p = a["h"], a["t"], a["i"]
@@ -727,6 +781,21 @@ def _mesh1m_kernel_probes(scene, integ_lat, dt_lat, rays_lat):
                 c = np.load("/tmp/bench_probe_pallas_bf16_panel.npz")
                 res["bf16_panel_hit_agreement"] = round(
                     float(np.mean(h_p == c["h"])), 6)
+            if ph:
+                e_ = np.load("/tmp/bench_probe_pallas_bf16_hilo.npz")
+                # hi/lo reconstruction is ~2^-18-accurate; hit+id
+                # agreement with the f32 kernel is the gate.
+                res["bf16_hilo_hit_agreement"] = round(
+                    float(np.mean((h_p == e_["h"])
+                                  & (~h_p | (i_p == e_["i"])))), 6)
+            if pbc:
+                g_ = np.load("/tmp/bench_probe_pallas_bf16_cert.npz")
+                # Certified-superset gate: every f32 hit must survive the
+                # widened bf16 test (1.0 = no true hit dropped).
+                res["bf16_cert_superset"] = round(
+                    float(np.mean(~h_p | g_["h"])), 6)
+                res["bf16_cert_extra_hit_frac"] = round(
+                    float(np.mean(g_["h"] & ~h_p)), 6)
         except Exception as e:
             perrs["agreement"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -900,14 +969,33 @@ def bench_animated_relight():
             "relay_floor_ms": round(_relay_floor_ms(), 3)}
 
 
+# Headline-first order: a budget kill after config k still leaves the
+# artifact with the k most important numbers (the tail re-emits after
+# every config). The 16M exhibit runs LAST — it is the most expensive
+# (scene gen + SAH build + three legs) and the least load-bearing.
 CONFIGS = [
     ("whitted_shadows_256", bench_whitted_shadows),
-    ("cornell_mis_512", bench_cornell_path),
     ("sppm_caustic_1024", bench_sppm_caustic),
     ("mesh1m_whitted_256", bench_mesh_1m),
-    ("mesh16m_whitted_256", bench_mesh_16m),
+    ("cornell_mis_512", bench_cornell_path),
     ("animated_relight_128", bench_animated_relight),
+    ("mesh16m_whitted_256", bench_mesh_16m),
 ]
+
+# Per-config budget policy: don't START a config with less than ``floor``
+# seconds remaining (record {"skipped": "budget"} instead); when started,
+# the child gets min(cap, remaining - 30) as its hard timeout. Floors are
+# warm-cache estimates + margin; caps bound a wedged child. The 16M
+# config's floor covers scene gen + SAH build + 3 measured legs (and fixes
+# round 3's prefix bug where mesh16m fell through to the short timeout).
+_BUDGET_POLICY = {
+    "whitted_shadows_256": (150, 1500),
+    "sppm_caustic_1024": (240, 1800),
+    "mesh1m_whitted_256": (420, 3600),
+    "cornell_mis_512": (180, 1500),
+    "animated_relight_128": (240, 1500),
+    "mesh16m_whitted_256": (900, 2700),
+}
 
 
 def _run_configs_inline(extras, errors):
@@ -944,15 +1032,18 @@ def _relay_alive(timeout_s: int = 420) -> bool:
         return False
 
 
-def _run_configs_isolated(extras, errors):
+def _run_configs_isolated(extras, errors, emit=None):
     """Each config in its own child process: a TPU-runtime fault (which
     can wedge or kill the whole process, not just raise) then costs one
     config, not the artifact. Children share the persistent compile
-    cache, so the only per-child overhead is tunnel setup."""
+    cache, so the only per-child overhead is tunnel setup. ``emit`` (the
+    cumulative-artifact printer) is called after EVERY config so a kill
+    at any point leaves a parseable tail with everything measured so
+    far."""
     import subprocess
     import sys
 
-    if not _relay_alive():
+    if not _relay_alive(timeout_s=min(420, max(60, int(_remaining_s())))):
         for name, _ in CONFIGS:
             extras[name] = None
         errors["relay"] = "TPU relay unresponsive (health-check dispatch timed out)"
@@ -961,16 +1052,26 @@ def _run_configs_isolated(extras, errors):
     for name, _ in CONFIGS:
         if only and only not in name:
             continue
+        floor, cap = _BUDGET_POLICY[name]
+        left = _remaining_s()
+        if not only and left - 30 < floor:
+            extras[name] = {"skipped": "budget",
+                            "remaining_s": round(left, 1)}
+            if emit:
+                emit()
+            continue
         env = dict(os.environ)
         env["BENCH_ONLY"] = name
         env["BENCH_INLINE"] = "1"
-        # mesh1m spawns per-variant kernel-probe grandchildren, each
-        # rebuilding the 1M-tri scene — give it headroom.
+        # The child inherits what's left of the budget as ITS budget so
+        # in-config tails (mesh1m's kernel-probe grandchildren) self-gate.
+        child_timeout = min(cap, max(60, left - 30))
+        env["BENCH_BUDGET_S"] = str(int(child_timeout))
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,
-                timeout=5400 if name.startswith("mesh1m") else 3000,
+                timeout=child_timeout,
             )
             line = proc.stdout.strip().splitlines()[-1]
             child = json.loads(line)
@@ -980,6 +1081,8 @@ def _run_configs_isolated(extras, errors):
         except Exception as e:
             extras[name] = None
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+        if emit:
+            emit()
 
 
 def _axon_relay_down():
@@ -1006,6 +1109,28 @@ def _axon_relay_down():
         s.close()
 
 
+def _artifact(extras, errors):
+    ex = dict(extras)
+    if errors:
+        ex["errors"] = dict(errors)
+    primary = ex.get("whitted_shadows_256")
+    if primary and "mrays" in primary:
+        return {
+            "metric": "whitted_shadows_256_mrays_per_sec",
+            "value": primary["mrays"],
+            "unit": "Mrays/s",
+            "vs_baseline": round(primary["mrays"] / NORTH_STAR_MRAYS, 4),
+            "extras": ex,
+        }
+    return {
+        "metric": "bench_failed",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "extras": ex,
+    }
+
+
 def main():
     probe = os.environ.get("BENCH_PROBE")
     if probe:  # grandchild: one isolated kernel variant, one JSON line
@@ -1023,31 +1148,17 @@ def main():
                                   "(127.0.0.1:8083 connection refused)"}},
         }))
         return
+    def emit():
+        # Cumulative partial artifact, re-printed after every config: the
+        # driver parses the LAST stdout line, so a kill at any point still
+        # yields everything measured so far (the round-3 rc=124 lesson).
+        print(json.dumps(_artifact(extras, errors)), flush=True)
+
     if os.environ.get("BENCH_INLINE"):
         _run_configs_inline(extras, errors)
     else:
-        _run_configs_isolated(extras, errors)
-    if errors:
-        extras["errors"] = errors
-
-    primary = extras.get("whitted_shadows_256")
-    if primary:
-        out = {
-            "metric": "whitted_shadows_256_mrays_per_sec",
-            "value": primary["mrays"],
-            "unit": "Mrays/s",
-            "vs_baseline": round(primary["mrays"] / NORTH_STAR_MRAYS, 4),
-            "extras": extras,
-        }
-    else:
-        out = {
-            "metric": "bench_failed",
-            "value": 0.0,
-            "unit": "Mrays/s",
-            "vs_baseline": 0.0,
-            "extras": extras,
-        }
-    print(json.dumps(out))
+        _run_configs_isolated(extras, errors, emit=emit)
+    emit()
 
 
 if __name__ == "__main__":

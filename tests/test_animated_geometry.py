@@ -314,3 +314,78 @@ def test_animated_geometry_mirror_transform_flips_orientation():
                                                     geometry=tris_m)))
     assert img_a.max() > 0.01
     np.testing.assert_allclose(img_b, img_a, atol=2e-3)
+
+
+def test_geometry_accel_sweep_tables_match_plain_render():
+    # The >10M-triangle fast path (bench config 4b headline leg): traced
+    # SweepTables / PallasSweepAccelerator.from_tables threaded through
+    # render(geometry=..., geometry_accel=...)
+    # (integrators/common.py prepare_geometry -> apply_geometry). On CPU
+    # the kernel runs in Pallas interpret mode; the image must equal the
+    # plain render, and the two spellings (a PallasSweepAccelerator vs
+    # its raw SweepTables) must be bit-identical to each other.
+    from trace_tpu.accel.clusters import build_clusters
+    from trace_tpu.ops.sweep_pallas import (PallasSweepAccelerator,
+                                            SweepTables)
+
+    scene = _build(T.identity())
+    tris = jax.tree.map(jnp.asarray, scene.triangles_host)
+
+    integ_a = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                max_depth=3)
+    img_a = np.asarray(
+        integ_a.camera.film.to_image(integ_a.render(scene)))
+    assert img_a.max() > 0.01
+
+    acc = build_clusters(scene.triangles_host, leaf_tris=8, super_size=4)
+    sweep = PallasSweepAccelerator(acc, group=4, block_rays=128,
+                                   ray_chunk=512, interpret=True)
+    scene.anim_block_rays = 128
+    scene.anim_ray_chunk = 512
+    scene.bump_version()
+
+    def run(accel):
+        integ = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                  max_depth=3)
+        return np.asarray(integ.camera.film.to_image(
+            integ.render(scene, geometry=tris, geometry_accel=accel)))
+
+    img_sweep = run(sweep)
+    np.testing.assert_allclose(img_sweep, img_a, atol=2e-3)
+
+    # Raw SweepTables spelling — what bench 4b actually passes — must be
+    # bit-identical to the accelerator spelling (same tables, same knobs).
+    img_tables = run(sweep.tables)
+    np.testing.assert_array_equal(img_tables, img_sweep)
+
+    # Composes with exact_shared_edges: apply_geometry forwards the
+    # scene's exact_edges into from_tables(certified=True) — the widened
+    # epilogue may only fatten silhouettes by certified ulp-scale radii,
+    # so the image stays within plain-render tolerance.
+    scene.exact_edges = True
+    scene.bump_version()
+    img_cert = run(sweep.tables)
+    scene.exact_edges = False
+    scene.bump_version()
+    np.testing.assert_allclose(img_cert, img_a, atol=2e-3)
+
+    # Refit composition: refit the accelerator for moved vertices, thread
+    # the refreshed tables with the moved triangles — must equal a scene
+    # rebuilt with the moved mesh.
+    motion = T.translate([0.1, -0.05, 0.2])
+    tris_m = tri_mod.transform_triangles(tris, motion)
+    sweep.refit(tris_m.v0, tris_m.v1, tris_m.v2)
+    scene.bump_version()
+    integ_r = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                max_depth=3)
+    img_refit = np.asarray(integ_r.camera.film.to_image(
+        integ_r.render(scene, geometry=tris_m,
+                       geometry_accel=sweep.tables)))
+
+    scene_moved = _build(motion)
+    integ_m = WhittedIntegrator(_camera(), UniformSampler(1, seed=0),
+                                max_depth=3)
+    img_m = np.asarray(
+        integ_m.camera.film.to_image(integ_m.render(scene_moved)))
+    assert img_m.max() > 0.01
+    np.testing.assert_allclose(img_refit, img_m, atol=2e-3)

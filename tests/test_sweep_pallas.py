@@ -108,6 +108,62 @@ def test_sweep_kernel_bf16_panel_mostly_agrees():
     assert np.mean((i0 != i1)[h0 & h1]) < 0.10  # near-tie winner swaps
 
 
+def test_sweep_kernel_bf16_hilo_near_exact():
+    # panel_hilo: hi/lo double-bf16 split reconstructed as f32(hi)+f32(lo)
+    # in VMEM — constants accurate to ~2^-18 relative (vs bf16's 2^-9), so
+    # hits/ids must agree with the f32 kernel except a vanishing boundary
+    # sliver, and t must match to the split error.
+    tris = _soup(500, seed=51)
+    o, d = _rays(400, seed=52)
+    t_max = jnp.full(400, jnp.inf)
+    accel = CL.build_clusters(tris, leaf_tris=16)
+    ref = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                 ray_chunk=512, interpret=True)
+    hl = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                ray_chunk=512, interpret=True,
+                                panel_hilo=True)
+    h0, t0, i0 = (np.asarray(x) for x in ref._chunked(o, d, t_max, False))
+    h1, t1, i1 = (np.asarray(x) for x in hl._chunked(o, d, t_max, False))
+    assert np.mean(h0 != h1) < 0.005
+    both = h0 & h1 & (i0 == i1)
+    assert both.sum() > 50
+    np.testing.assert_allclose(t1[both], t0[both], rtol=1e-4, atol=1e-4)
+    assert np.mean((i0 != i1)[h0 & h1]) < 0.01
+
+
+def test_sweep_kernel_bf16_certified_superset():
+    # bf16 panel + certified widening sized to BF16_PANEL_ERR_EPS: a
+    # conservative SUPERSET of the f32 acceptance at half the DMA bytes —
+    # no f32 hit may be dropped (extra boundary hits are allowed).
+    tris = _soup(500, seed=81)
+    o, d = _rays(400, seed=82)
+    t_max = jnp.full(400, jnp.inf)
+    accel = CL.build_clusters(tris, leaf_tris=16)
+    ref = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                 ray_chunk=512, interpret=True)
+    bc = PallasSweepAccelerator(accel, group=4, block_rays=128,
+                                ray_chunk=512, interpret=True,
+                                panel_bf16=True, certified=True)
+    h0, t0, i0 = (np.asarray(x) for x in ref._chunked(o, d, t_max, False))
+    h1, t1, i1 = (np.asarray(x) for x in bc._chunked(o, d, t_max, False))
+    assert (h1 | ~h0).all()
+    # Closest-hit winners can change where the bf16-wide fattening admits
+    # a nearer boundary graze (the cost of conservatism at 2^-9 widths) —
+    # t must agree to bf16 tolerance wherever the winner is unchanged,
+    # and most winners must be unchanged.
+    same = h0 & h1 & (i0 == i1)
+    assert same.sum() > 0.8 * h0.sum()
+    # t carries the constants' bf16 rounding, amplified where the d.n
+    # contraction cancels — same tolerance as the plain bf16-panel test.
+    np.testing.assert_allclose(t1[same], t0[same], rtol=5e-2, atol=5e-2)
+    # The natural deployment is the shadow/occlusion leg: any-hit must be
+    # a strict superset too.
+    ts = jnp.full(400, 6.0)
+    a0 = np.asarray(ref._chunked(o, d, ts, True)[0])
+    a1 = np.asarray(bc._chunked(o, d, ts, True)[0])
+    assert (a1 | ~a0).all()
+
+
 def test_sweep_kernel_collect_stats():
     # The roofline instrumentation: per-block sweep step counts come back
     # as a third kernel output; total steps bound by blocks x supers.

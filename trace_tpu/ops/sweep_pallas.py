@@ -53,13 +53,28 @@ F32 = jnp.float32
 RAY_ROWS = 16   # o(3) d(3) m(3) tmax(1) pad(6) -> one sublane tile
 
 
-def _panel_test(certified, mm, o_m, d_m, m_m,
+# Certified widening sized to the panel precision (the eps fed to the
+# error-bound abs-matmuls below). MT_ERR_EPS covers f32 panels (algorithm
+# rounding + one f64->f32 constant rounding). Half-precision panels add a
+# constant representation error that dominates:
+#   raw bf16: RN to 8 mantissa bits, rel err <= 2^-9 per constant;
+#   hi/lo double-bf16: lo captures the hi residual, rel err <= 2^-18
+#     (+ one f32 add rounding at reconstruction).
+# 1.25x / 2x margins make the bound safely conservative — over-widening
+# only fattens silhouettes, never drops hits.
+BF16_PANEL_ERR_EPS = np.float32(1.25 * 2.0 ** -9)
+HILO_PANEL_ERR_EPS = np.float32(2.0 ** -17)
+
+
+def _panel_test(certified, err_eps, mm, o_m, d_m, m_m,
                 n_p, e1_p, e2_p, w_p, q_p, v0n):
     """Shared per-super epilogue of both kernel variants: the six MT
     matmul panels + validity test. ``certified`` (static) adds the
-    error-bound abs-matmuls (mxu.mt_epilogue_certified) so
-    exact_shared_edges composes with this kernel — the extra contractions
-    read only VMEM-resident data, no extra HBM traffic."""
+    error-bound abs-matmuls (mxu.mt_epilogue_certified), with ``err_eps``
+    (static) sized to the panel precision, so exact_shared_edges composes
+    with this kernel — and a certified bf16 panel stays a conservative
+    SUPERSET of the f32 acceptance at half the DMA bytes. The extra
+    contractions read only VMEM-resident data, no extra HBM traffic."""
     det = -mm(d_m, n_p)
     u_det = mm(m_m, e2_p) - mm(d_m, w_p)
     v_det = -mm(m_m, e1_p) - mm(d_m, q_p)
@@ -73,7 +88,7 @@ def _panel_test(certified, mm, o_m, d_m, m_m,
          o_a[2] * d_a[0] + o_a[0] * d_a[2],
          o_a[0] * d_a[1] + o_a[1] * d_a[0]], axis=0,
     )
-    eps = MT_ERR_EPS
+    eps = jnp.float32(err_eps)
     err_det = eps * mm(d_a, jnp.abs(n_p))
     err_u = eps * (mm(ma, jnp.abs(e2_p)) + mm(d_a, jnp.abs(w_p)))
     err_v = eps * (mm(ma, jnp.abs(e1_p)) + mm(d_a, jnp.abs(q_p)))
@@ -98,12 +113,22 @@ class SweepTables:
 
     ``panel_bf16``: store the panel in bfloat16 — HALF the per-step DMA
     bytes, upcast to f32 in VMEM before the contraction. The constants
-    then carry ~2^-8 relative error, so boundary hits can differ from the
+    then carry ~2^-9 relative error, so boundary hits can differ from the
     f32 oracle (measured on-chip by bench.py's sweep_agreement probe);
-    OFF by default — the exactness default is f32."""
+    OFF by default — the exactness default is f32. Paired with
+    ``certified=True`` the epilogue widens by BF16_PANEL_ERR_EPS, making
+    the half-DMA acceptance a conservative SUPERSET of the f32 one.
+
+    ``panel_hilo``: hi/lo double-bf16 split — panel rows double to 32
+    (hi block then lo block), reconstructed as f32(hi)+f32(lo) in VMEM.
+    SAME total DMA bytes as f32 (2 x bf16), constants accurate to ~2^-18
+    relative (lo captures the hi rounding residual) — the A/B arm probing
+    whether bf16-granularity DMA has a throughput edge at equal bytes."""
 
     def __init__(self, accel: ClusterAccel, group: int = 8,
-                 panel_bf16: bool = False):
+                 panel_bf16: bool = False, panel_hilo: bool = False):
+        assert not (panel_bf16 and panel_hilo), \
+            "panel_bf16 and panel_hilo are mutually exclusive"
         l = accel.leaf_tris
         c = np.asarray(accel.tri_id).shape[0]
         g = int(group)
@@ -127,6 +152,7 @@ class SweepTables:
         )
         # pad already yields contiguous f32 — avoid two further copies.
         self.panel_bf16 = bool(panel_bf16)
+        self.panel_hilo = bool(panel_hilo)
         panel = np.pad(panel, ((0, 0), (0, 0), (0, self.gl_pad - gl)))
         if panel_bf16:
             # Host-side cast (ml_dtypes ships with JAX): table packing
@@ -137,6 +163,16 @@ class SweepTables:
             self.panel = np.ascontiguousarray(
                 panel.astype(np.float32).astype(ml_dtypes.bfloat16)
             )
+        elif panel_hilo:
+            import ml_dtypes
+
+            pf = panel.astype(np.float32)
+            hi = pf.astype(ml_dtypes.bfloat16)
+            lo = (pf - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            # [S, 32, GLP]: rows 0-15 hi, rows 16-31 lo — one DMA per
+            # super, decoded in VMEM as f32(hi) + f32(lo).
+            self.panel = np.ascontiguousarray(
+                np.concatenate([hi, lo], axis=1))
         else:
             self.panel = np.asarray(panel, np.float32)
         # Local slot id -> global triangle id (-1 = padding slot).
@@ -155,14 +191,14 @@ class SweepTables:
 def _sweep_tables_flatten(tb):
     return ((tb.panel, tb.slot_to_tri, tb.s_lo, tb.s_hi),
             (tb.n_supers, tb.group, tb.leaf_tris, tb.gl_pad,
-             tb.panel_bf16))
+             tb.panel_bf16, tb.panel_hilo))
 
 
 def _sweep_tables_unflatten(aux, leaves):
     tb = object.__new__(SweepTables)
     tb.panel, tb.slot_to_tri, tb.s_lo, tb.s_hi = leaves
     (tb.n_supers, tb.group, tb.leaf_tris, tb.gl_pad,
-     tb.panel_bf16) = aux
+     tb.panel_bf16, tb.panel_hilo) = aux
     return tb
 
 
@@ -174,7 +210,8 @@ jax.tree_util.register_pytree_node(
     SweepTables, _sweep_tables_flatten, _sweep_tables_unflatten)
 
 
-def _sweep_kernel(any_hit, n_supers, certified, collect_stats,
+def _sweep_kernel(any_hit, n_supers, certified, err_eps, hilo,
+                  collect_stats,
                   idx_ref, suffix_ref,            # SMEM per block
                   rays_ref,                        # VMEM [16, B]
                   panel_hbm,                       # HBM full panel table
@@ -213,16 +250,21 @@ def _sweep_kernel(any_hit, n_supers, certified, collect_stats,
         cp.start()
         cp.wait()
 
-        f32 = lambda x: x.astype(jnp.float32)     # no-op for f32 panels
-        n_p = f32(panel_buf[0:3, :])
-        e1_p = f32(panel_buf[3:6, :])
-        e2_p = f32(panel_buf[6:9, :])
-        w_p = f32(panel_buf[9:12, :])
-        q_p = f32(panel_buf[12:15, :])
-        v0n = f32(panel_buf[15:16, :])             # [1, GL]
+        if hilo:   # f32(hi) + f32(lo): ~2^-18-accurate reconstruction
+            f32 = lambda r0, r1: (panel_buf[r0:r1].astype(jnp.float32)
+                                  + panel_buf[16 + r0:16 + r1]
+                                  .astype(jnp.float32))
+        else:      # astype is a no-op for f32 panels
+            f32 = lambda r0, r1: panel_buf[r0:r1].astype(jnp.float32)
+        n_p = f32(0, 3)
+        e1_p = f32(3, 6)
+        e2_p = f32(6, 9)
+        w_p = f32(9, 12)
+        q_p = f32(12, 15)
+        v0n = f32(15, 16)                          # [1, GL]
         tid = col_ids + sid * gl                   # [1, GL] local ids
 
-        core_ok, t = _panel_test(certified, mm, o_m, d_m, m_m,
+        core_ok, t = _panel_test(certified, err_eps, mm, o_m, d_m, m_m,
                                  n_p, e1_p, e2_p, w_p, q_p, v0n)
         limit = jnp.minimum(best_t, t_lim)[:, None]   # [B, 1]
         ok = core_ok & (t < limit)
@@ -268,7 +310,8 @@ def _sweep_kernel(any_hit, n_supers, certified, collect_stats,
         ).astype(jnp.int32)
 
 
-def _sweep_kernel_pipelined(any_hit, n_supers, certified, collect_stats,
+def _sweep_kernel_pipelined(any_hit, n_supers, certified, err_eps, hilo,
+                            collect_stats,
                             idx_ref, suffix_ref,     # SMEM per block
                             rays_ref,                 # VMEM [16, B]
                             panel_hbm,                # HBM full panel table
@@ -325,16 +368,21 @@ def _sweep_kernel_pipelined(any_hit, n_supers, certified, collect_stats,
         start(1 - slot, s + 1)
         wait(slot)
 
-        f32 = lambda x: x.astype(jnp.float32)     # no-op for f32 panels
-        n_p = f32(panel_buf[slot, 0:3, :])
-        e1_p = f32(panel_buf[slot, 3:6, :])
-        e2_p = f32(panel_buf[slot, 6:9, :])
-        w_p = f32(panel_buf[slot, 9:12, :])
-        q_p = f32(panel_buf[slot, 12:15, :])
-        v0n = f32(panel_buf[slot, 15:16, :])
+        if hilo:   # f32(hi) + f32(lo): ~2^-18-accurate reconstruction
+            f32 = lambda r0, r1: (
+                panel_buf[slot, r0:r1].astype(jnp.float32)
+                + panel_buf[slot, 16 + r0:16 + r1].astype(jnp.float32))
+        else:      # astype is a no-op for f32 panels
+            f32 = lambda r0, r1: panel_buf[slot, r0:r1].astype(jnp.float32)
+        n_p = f32(0, 3)
+        e1_p = f32(3, 6)
+        e2_p = f32(6, 9)
+        w_p = f32(9, 12)
+        q_p = f32(12, 15)
+        v0n = f32(15, 16)
         tid = col_ids + idx_ref[0, s] * gl
 
-        core_ok, t = _panel_test(certified, mm, o_m, d_m, m_m,
+        core_ok, t = _panel_test(certified, err_eps, mm, o_m, d_m, m_m,
                                  n_p, e1_p, e2_p, w_p, q_p, v0n)
         limit = jnp.minimum(best_t, t_lim)[:, None]
         ok = core_ok & (t < limit)
@@ -389,9 +437,11 @@ class PallasSweepAccelerator:
                  block_rays: int = 512, ray_chunk: int = 16384,
                  sort_rays: bool = True, interpret: bool = False,
                  pipeline: bool = False, certified: bool = False,
-                 panel_bf16: bool = False, collect_stats: bool = False):
+                 panel_bf16: bool = False, panel_hilo: bool = False,
+                 collect_stats: bool = False):
         self.clusters = accel
-        self.tables = SweepTables(accel, group, panel_bf16=panel_bf16)
+        self.tables = SweepTables(accel, group, panel_bf16=panel_bf16,
+                                  panel_hilo=panel_hilo)
         self.block_rays = int(block_rays)
         self.ray_chunk = int(ray_chunk)
         self.sort_rays = bool(sort_rays)
@@ -447,7 +497,8 @@ class PallasSweepAccelerator:
 
         self.clusters = refit_clusters(self.clusters, v0, v1, v2)
         self.tables = SweepTables(self.clusters, self.tables.group,
-                                  panel_bf16=self.tables.panel_bf16)
+                                  panel_bf16=self.tables.panel_bf16,
+                                  panel_hilo=self.tables.panel_hilo)
         lo = self.tables.s_lo.min(axis=0)
         hi = self.tables.s_hi.max(axis=0)
         self._world_lo = lo
@@ -504,22 +555,31 @@ class PallasSweepAccelerator:
         rays = jnp.pad(pack, ((0, 0), (0, RAY_ROWS - 10), (0, 0)))
 
         gl = tb.gl_pad
-        panel_dtype = jnp.bfloat16 if tb.panel_bf16 else jnp.float32
+        hilo = bool(getattr(tb, "panel_hilo", False))
+        panel_dtype = (jnp.bfloat16 if (tb.panel_bf16 or hilo)
+                       else jnp.float32)
+        rows = 32 if hilo else 16
+        # Certified widening sized to the panel precision (see
+        # BF16_PANEL_ERR_EPS / HILO_PANEL_ERR_EPS).
+        err_eps = float(
+            BF16_PANEL_ERR_EPS if tb.panel_bf16
+            else HILO_PANEL_ERR_EPS if hilo else MT_ERR_EPS)
         stats = bool(getattr(self, "collect_stats", False))
         if self.pipeline:
             kernel = functools.partial(
                 _sweep_kernel_pipelined, any_hit, s_count, self.certified,
-                stats,
+                err_eps, hilo, stats,
             )
             scratch = [
-                pltpu.VMEM((2, 16, gl), panel_dtype),
+                pltpu.VMEM((2, rows, gl), panel_dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
         else:
             kernel = functools.partial(_sweep_kernel, any_hit, s_count,
-                                       self.certified, stats)
+                                       self.certified, err_eps, hilo,
+                                       stats)
             scratch = [
-                pltpu.VMEM((16, gl), panel_dtype),
+                pltpu.VMEM((rows, gl), panel_dtype),
                 pltpu.SemaphoreType.DMA(()),
             ]
         out_specs = [

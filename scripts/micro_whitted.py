@@ -57,6 +57,10 @@ def timed_loop(step, state0, k_lo=2, k_hi=10, reps=3):
     return diff_time(run_k, k_lo, k_hi, reps)
 
 
+def emit(out):
+    print(json.dumps(out), flush=True)
+
+
 def main():
     out = {}
     key = jax.random.key(0)
@@ -80,6 +84,7 @@ def main():
 
     out["loop_iter_us"] = round(
         diff_time(run8, 64, 4096) / (1) * 1e6, 3)
+    emit(out)
 
     # Same, but a 262144x3 elementwise body (HBM-bound vector op).
     xb = jnp.ones((262144, 3), jnp.float32)
@@ -98,6 +103,7 @@ def main():
         return time.perf_counter() - t0
 
     out["vec_iter_us"] = round(diff_time(runb, 16, 256) * 1e6, 3)
+    emit(out)
     # Representative child queue: ~35% live, duplicate slots, a 20-leaf
     # pytree like the whitted queue (rd origins/dirs/diffs + beta + ids).
     k1, k2, k3 = jax.random.split(key, 3)
@@ -139,6 +145,7 @@ def main():
         timed_loop(step_with(compact_argsort), tree) * 1e3, 3)
     out["compact_partition_ms"] = round(
         timed_loop(step_with(compact_partition), tree) * 1e3, 3)
+    emit(out)
 
     # --- 2. scatter-add with duplicate indices (l_buf.at[slot].add) ---
     l_buf = jnp.zeros((N, 3), jnp.float32)
@@ -161,6 +168,7 @@ def main():
 
     out["scatter_add_unique_sorted_ms"] = round(
         timed_loop(step_scatter_u, l_buf) * 1e3, 3)
+    emit(out)
 
     # --- 3. one full whitted level (li body) on the shadows scene ---
     from trace_tpu.models.spheres import build_scene, build_camera
@@ -184,6 +192,7 @@ def main():
 
     out["li_full_frame5_ms"] = round(
         timed_loop(step_li, (rd, jnp.float32(0.0)), k_lo=1, k_hi=4) * 1e3, 3)
+    emit(out)
 
     # --- 4. intersect-only at chunk shape ---
     def step_hit(carry):
@@ -191,7 +200,7 @@ def main():
         import trace_tpu.utils.pytree as P
         r2 = P.replace(r, o=r.o + s * 0.0)
         h = scene.intersect(r2.o, r2.d, r2.t_max, r2.time)
-        return (r, jnp.sum(h.t_hit) * 1e-30)
+        return (r, jnp.sum(h.t) * 1e-30)
 
     out["intersect_ms"] = round(
         timed_loop(step_hit, (rd, jnp.float32(0.0))) * 1e3, 3)

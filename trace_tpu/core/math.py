@@ -96,6 +96,27 @@ def refract(wi, n, eta):
     return valid, jnp.where(valid[..., None], wt, 0.0)
 
 
+def unpack3(v):
+    """Split [..., 3] into three [...] component arrays WITHOUT
+    minor-dim strided slices.
+
+    ``v[..., k]`` on a TPU-tiled [N, 3] array is a strided window
+    extraction: profiling the composed Whitted loop showed the cloned
+    slice fusions it produces serialize into multi-million-cycle loops
+    (~5 ms per level at 65536 lanes — 46% of device time;
+    ARCHITECTURE.md §7b). One ``moveaxis`` transpose is a single
+    efficient tile-shuffle op, after which the component reads are
+    contiguous rows. Bit-identical values, different data movement."""
+    vt = jnp.moveaxis(v, -1, 0)
+    return vt[0], vt[1], vt[2]
+
+
+def pack3(x, y, z):
+    """Inverse of unpack3: three [...] components -> [..., 3] via one
+    transpose instead of an interleaving stack (same rationale)."""
+    return jnp.moveaxis(jnp.stack([x, y, z], axis=0), 0, -1)
+
+
 def mat3_apply(m33, v):
     """[..., 3, 3] @ [..., 3] -> [..., 3] as exact f32 VPU arithmetic.
 
@@ -103,27 +124,28 @@ def mat3_apply(m33, v):
     default TPU precision multiplies in bf16 — ~7 bits lost, enough to
     break on-surface geometry (measured: 50% false shadow self-occlusion
     on unit-scale spheres). Explicit component arithmetic stays on the
-    VPU in full f32 and fuses with its consumers.
+    VPU in full f32 and fuses with its consumers. Components move via
+    unpack3/pack3 (one transpose each way) — see unpack3 for why.
     """
+    v0, v1, v2 = unpack3(v)
+    mt = jnp.moveaxis(jnp.moveaxis(m33, -1, 0), -1, 0)  # [3r, 3c, ...]
     out = [
-        m33[..., i, 0] * v[..., 0]
-        + m33[..., i, 1] * v[..., 1]
-        + m33[..., i, 2] * v[..., 2]
+        mt[i, 0] * v0 + mt[i, 1] * v1 + mt[i, 2] * v2
         for i in range(3)
     ]
-    return jnp.stack(out, axis=-1)
+    return pack3(*out)
 
 
 def mat3_apply_t(m33, v):
     """Transpose apply: [..., 3, 3].T @ [..., 3] (normals' inverse
     transpose rule) in exact f32 — see mat3_apply."""
+    v0, v1, v2 = unpack3(v)
+    mt = jnp.moveaxis(jnp.moveaxis(m33, -1, 0), -1, 0)  # [3r, 3c, ...]
     out = [
-        m33[..., 0, i] * v[..., 0]
-        + m33[..., 1, i] * v[..., 1]
-        + m33[..., 2, i] * v[..., 2]
+        mt[0, i] * v0 + mt[1, i] * v1 + mt[2, i] * v2
         for i in range(3)
     ]
-    return jnp.stack(out, axis=-1)
+    return pack3(*out)
 
 
 def coordinate_system(v1):

@@ -228,14 +228,21 @@ def perspective_pbrt(fov: float, near: float, far: float) -> Transform:
 def apply_point(t: Transform, p):
     """Apply to points [..., 3] with perspective divide. Exact f32
     component arithmetic — einsum would hit the MXU's bf16 default
-    (see core.math.mat3_apply)."""
+    (see core.math.mat3_apply). Component extraction goes through
+    math.unpack3/pack3 (single-transpose data movement) — the naive
+    ``p[..., k]`` strided slices dominated the profiled wavefront loop
+    (ARCHITECTURE.md §7b)."""
     mm = jnp.asarray(t.m)
-    r = m.mat3_apply(mm[..., :3, :3], p) + mm[..., :3, 3]
-    w = (
-        mm[..., 3, 0] * p[..., 0] + mm[..., 3, 1] * p[..., 1]
-        + mm[..., 3, 2] * p[..., 2] + mm[..., 3, 3]
-    )
-    return jnp.where((w == 1.0)[..., None], r, r / w[..., None])
+    p0, p1, p2 = m.unpack3(p)
+    r = [
+        mm[..., i, 0] * p0 + mm[..., i, 1] * p1
+        + mm[..., i, 2] * p2 + mm[..., i, 3]
+        for i in range(3)
+    ]
+    w = mm[..., 3, 0] * p0 + mm[..., 3, 1] * p1 \
+        + mm[..., 3, 2] * p2 + mm[..., 3, 3]
+    is_affine = w == 1.0
+    return m.pack3(*[jnp.where(is_affine, ri, ri / w) for ri in r])
 
 
 def apply_vec(t: Transform, v):

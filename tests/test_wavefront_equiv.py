@@ -1,0 +1,134 @@
+"""Planar wavefront path (trace_tpu/wavefront) vs the packed oracle path.
+
+Every planar module is a formula-for-formula twin of its packed
+counterpart; these tests pin them together (bit-exact where the op
+order is identical, tight allclose where association differs).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trace_tpu.core.vec import V3
+from trace_tpu.core.ray import RayDifferentials
+from trace_tpu.wavefront import geom as G
+from trace_tpu.shapes import sphere as sph_mod
+from trace_tpu.shapes import triangle as tri_mod
+from trace_tpu.core.interaction import compute_differentials as cd_packed
+from trace_tpu.models.spheres import build_scene
+
+
+def _rays(n, seed=0, aim=(0.3, 0.0, -2.5), spread=1.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-1, 1, (n, 3)).astype(np.float32) * [1, 0.5, 1]
+    o[:, 2] += 2.0
+    target = np.asarray(aim, np.float32) + spread * rng.uniform(
+        -0.5, 0.5, (n, 3)
+    ).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return build_scene()
+
+
+def test_spheres_closest_matches_packed(scene):
+    o, d = _rays(512)
+    t_max = jnp.full((512,), jnp.inf, jnp.float32)
+    hp, tp, ip = sph_mod.intersect_closest(scene.spheres, o, d, t_max)
+    hv, tv, iv = G.spheres_closest(scene.spheres_host, V3.of(o), V3.of(d),
+                                   t_max)
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hv))
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(hp, tp, 0.0)),
+        np.asarray(jnp.where(hv, tv, 0.0)), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.where(hp, ip, -1)), np.asarray(jnp.where(hv, iv, -1)))
+
+
+def test_triangles_closest_matches_packed(scene):
+    o, d = _rays(512, seed=1, aim=(0.5, 0.2, -2.5), spread=2.0)
+    t_max = jnp.full((512,), jnp.inf, jnp.float32)
+    hp, tp, ip = tri_mod.intersect_closest(scene.triangles, o, d, t_max)
+    hv, tv, iv = G.triangles_closest(scene.triangles_host, V3.of(o),
+                                     V3.of(d), t_max)
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hv))
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(hp, tp, 0.0)),
+        np.asarray(jnp.where(hv, tv, 0.0)), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.where(hp, ip, -1)), np.asarray(jnp.where(hv, iv, -1)))
+
+
+def _cmp_hit(packed, planar, mask, rtol=2e-6, atol=2e-6):
+    pk = G.hitp_to_packed(planar)
+    m = np.asarray(mask)
+    for field in ("t", "p", "wo", "n", "uv", "dpdu", "dpdv", "ns",
+                  "s_dpdu", "s_dpdv", "s_dndu", "s_dndv"):
+        a = np.asarray(getattr(packed, field))[m]
+        b = np.asarray(getattr(pk, field))[m]
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                   err_msg=f"field {field}")
+    for field in ("prim_id", "material_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(packed, field))[m],
+            np.asarray(getattr(pk, field))[m], err_msg=f"field {field}")
+
+
+def test_sphere_detail_matches_packed(scene):
+    n = 512
+    o, d = _rays(n)
+    t_max = jnp.full((n,), jnp.inf, jnp.float32)
+    time = jnp.zeros((n,), jnp.float32)
+    hp, tp, ip = sph_mod.intersect_closest(scene.spheres, o, d, t_max)
+    packed = sph_mod.make_hit(scene.spheres, o, d, time, tp, ip, hp)
+    rows = G.sphere_rows(scene.spheres_host)
+    planar = G.make_hit_spheres(rows, V3.of(o), V3.of(d), time, tp, ip, hp)
+    assert np.asarray(hp).sum() > 50
+    _cmp_hit(packed, planar, hp)
+
+
+def test_triangle_detail_matches_packed(scene):
+    n = 512
+    o, d = _rays(n, seed=2, aim=(0.5, 0.2, -2.6), spread=2.0)
+    time = jnp.zeros((n,), jnp.float32)
+    t_max = jnp.full((n,), jnp.inf, jnp.float32)
+    hp, tp, ip = tri_mod.intersect_closest(scene.triangles, o, d, t_max)
+    packed = tri_mod.make_hit(scene.triangles, o, d, time, ip, hp)
+    rows = G.triangle_rows(scene.triangles_host)
+    planar = G.make_hit_triangles(rows, V3.of(o), V3.of(d), time, ip, hp)
+    assert np.asarray(hp).sum() > 50
+    np.testing.assert_array_equal(np.asarray(packed.valid),
+                                  np.asarray(planar.valid))
+    _cmp_hit(packed, planar, np.asarray(packed.valid))
+
+
+def test_differentials_match_packed(scene):
+    n = 256
+    o, d = _rays(n)
+    time = jnp.zeros((n,), jnp.float32)
+    t_max = jnp.full((n,), jnp.inf, jnp.float32)
+    eps = 1e-3
+    rd = RayDifferentials(
+        o=o, d=d, t_max=t_max, time=time,
+        has_differentials=jnp.ones((n,), bool),
+        rx_origin=o + jnp.asarray([eps, 0, 0], jnp.float32),
+        ry_origin=o + jnp.asarray([0, eps, 0], jnp.float32),
+        rx_direction=d, ry_direction=d,
+    )
+    hp, tp, ip = sph_mod.intersect_closest(scene.spheres, o, d, t_max)
+    packed = sph_mod.make_hit(scene.spheres, o, d, time, tp, ip, hp)
+    packed = cd_packed(packed, rd)
+    rows = G.sphere_rows(scene.spheres_host)
+    planar = G.make_hit_spheres(rows, V3.of(o), V3.of(d), time, tp, ip, hp)
+    planar = G.compute_differentials(planar, G.RayP.of(rd))
+    pk = G.hitp_to_packed(planar)
+    m = np.asarray(hp)
+    for field in ("dudx", "dudy", "dvdx", "dvdy", "dpdx", "dpdy"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(packed, field))[m],
+            np.asarray(getattr(pk, field))[m],
+            rtol=2e-5, atol=2e-5, err_msg=f"field {field}")

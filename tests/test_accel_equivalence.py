@@ -1,6 +1,7 @@
 """Cross-validation of every acceleration path against brute force:
 cluster sweep (VPU watertight + MXU Moller-Trumbore stages), per-lane BVH
 traversal, MXU all-pairs, and the Pallas kernels (interpret mode)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,9 @@ from trace_tpu.shapes import triangle as tri_mod
 from trace_tpu.accel import clusters as CL
 from trace_tpu.accel import mxu as MX
 from trace_tpu.accel.bvh import build_bvh, _traverse_one
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
 
 
 def _soup(nt, seed=0):

@@ -18,6 +18,9 @@ from trace_tpu.sampler.uniform import UniformSampler
 from trace_tpu.film.film import Film
 from trace_tpu.camera.perspective import PerspectiveCamera
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
+
 
 def _mesh(n=12, seed=3):
     rng = np.random.default_rng(seed)

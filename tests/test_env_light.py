@@ -16,6 +16,9 @@ from trace_tpu.integrators import path as path_mod
 from trace_tpu.integrators import whitted as whitted_mod
 from trace_tpu.scene import SceneBuilder
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
+
 F32 = jnp.float32
 
 

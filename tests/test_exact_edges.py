@@ -14,6 +14,7 @@ These tests drive rays whose EXACT intersection lies on shared mesh edges
 through the XLA cluster sweep and the Pallas sparse-sweep kernel
 (interpret mode) and assert zero leaks end-to-end through scene.intersect.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,9 @@ from trace_tpu.lights import lights as L
 from trace_tpu.materials.materials import MatteMaterial
 from trace_tpu.scene import SceneBuilder
 from trace_tpu.shapes import triangle as tri_mod
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
 
 F32 = jnp.float32
 

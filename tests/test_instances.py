@@ -15,6 +15,9 @@ from trace_tpu.lights import lights as L
 from trace_tpu.materials.materials import MatteMaterial
 from trace_tpu.scene import SceneBuilder
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
+
 F32 = jnp.float32
 
 

@@ -8,6 +8,9 @@ import pytest
 from trace_tpu.sampler.stratified import StratifiedSampler, get_camera_samples
 from trace_tpu.sampler.distribution import Distribution1D
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
+
 
 def test_stratified_samples_land_in_strata():
     s = StratifiedSampler(2, 2, jitter=True, seed=0)

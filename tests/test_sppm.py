@@ -16,6 +16,9 @@ from trace_tpu.integrators.sppm import (
 )
 from trace_tpu.models.spheres import build_scene, build_camera
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
+
 F32 = jnp.float32
 
 

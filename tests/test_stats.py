@@ -1,8 +1,12 @@
 """RenderStats observability: structured per-pass counters (SURVEY §5 —
 the reference only has ProgressMeter bars, Trace.jl:39-44)."""
+import pytest
 import numpy as np
 
 from trace_tpu.utils.stats import RenderStats
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
 
 
 def test_counters_and_timers():

@@ -1,5 +1,6 @@
 """Pallas sparse-sweep kernel vs brute-force watertight oracle
 (interpret mode on CPU; the on-chip benchmark lives in docs/BASELINE)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,9 @@ from trace_tpu.core import transform as T
 from trace_tpu.shapes import triangle as tri_mod
 from trace_tpu.accel import clusters as CL
 from trace_tpu.ops.sweep_pallas import PallasSweepAccelerator
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
 
 
 def _soup(nt, seed=0):

@@ -132,3 +132,56 @@ def test_differentials_match_packed(scene):
             np.asarray(getattr(packed, field))[m],
             np.asarray(getattr(pk, field))[m],
             rtol=2e-5, atol=2e-5, err_msg=f"field {field}")
+
+
+def _camera_rays(n, seed=5):
+    o, d = _rays(n, seed=seed, aim=(0.4, 0.2, -2.5), spread=1.5)
+    eps = 1e-3
+    return RayDifferentials(
+        o=o, d=d, t_max=jnp.full((n,), jnp.inf, jnp.float32),
+        time=jnp.zeros((n,), jnp.float32),
+        has_differentials=jnp.ones((n,), bool),
+        rx_origin=o + jnp.asarray([eps, 0, 0], jnp.float32),
+        ry_origin=o + jnp.asarray([0, eps, 0], jnp.float32),
+        rx_direction=d, ry_direction=d,
+    )
+
+
+@pytest.mark.slow
+def test_li_planar_matches_packed(scene):
+    from trace_tpu.integrators import whitted as packed_w
+    from trace_tpu.wavefront import whitted as planar_w
+
+    n = 1024
+    rd = _camera_rays(n)
+    key = jax.random.key(7)
+    lp, aux_p = packed_w.li(scene, rd, key, max_depth=5, return_aux=True)
+    lv, aux_v = planar_w.li(scene, rd, key, max_depth=5, return_aux=True)
+    a, b = np.asarray(lp), np.asarray(lv)
+    assert a.sum() > 0  # scene actually lights up
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert int(aux_p["useful_rays"]) == int(aux_v["useful_rays"])
+    assert int(aux_p["queue_drops"]) == int(aux_v["queue_drops"])
+
+
+@pytest.mark.slow
+def test_li_planar_level_caps_exact_when_roomy(scene):
+    """A shrunken-but-sufficient capacity schedule must be drop-free and
+    match the full-width planar run (same math; the unrolled depth loop
+    compiles with different fusion/association than the fori_loop body,
+    so equality is tight-allclose, not bit-exact)."""
+    from trace_tpu.wavefront import whitted as planar_w
+
+    n = 512
+    rd = _camera_rays(n, seed=9)
+    key = jax.random.key(3)
+    l_full, aux_full = planar_w.li(scene, rd, key, max_depth=5,
+                                   return_aux=True)
+    l_caps, aux_caps = planar_w.li(
+        scene, rd, key, max_depth=5, return_aux=True,
+        level_caps=(n, n, n, n))
+    assert int(aux_caps["queue_drops"]) == 0
+    assert (int(aux_caps["useful_rays"])
+            == int(aux_full["useful_rays"]))
+    np.testing.assert_allclose(np.asarray(l_full), np.asarray(l_caps),
+                               rtol=2e-3, atol=1e-4)

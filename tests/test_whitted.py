@@ -14,6 +14,9 @@ from trace_tpu.sampler.uniform import UniformSampler
 from trace_tpu.scene import SceneBuilder
 from trace_tpu.models.spheres import build_scene, build_camera
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-suite tier only
+
+
 F32 = jnp.float32
 
 

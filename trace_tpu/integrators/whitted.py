@@ -231,17 +231,50 @@ class WhittedIntegrator(SamplerIntegrator):
     render; raise the capacity otherwise."""
 
     def __init__(self, *args, queue_capacity: int | None = None,
-                 sort_materials: bool = False, **kw):
+                 sort_materials: bool = False, li_impl: str = "auto",
+                 level_caps: tuple | None = None, **kw):
         super().__init__(*args, **kw)
         self.queue_capacity = queue_capacity
         self.sort_materials = bool(sort_materials)
+        # "auto": the planar wavefront fast path (trace_tpu/wavefront —
+        # the round-5 layout rewrite, measured 2.2x+ on v5e) whenever the
+        # scene supports it, else this packed oracle path. "planar" /
+        # "packed" force one side (tests pin them equal).
+        self.li_impl = li_impl
+        # Optional shrinking queue-capacity schedule for levels
+        # 2..max_depth (planar path only): drops stay counted, so a
+        # schedule is verified energy-exact post-hoc by drops == 0.
+        self.level_caps = level_caps
+
+    def _use_planar(self, scene) -> bool:
+        if self.li_impl == "packed" or self.sort_materials:
+            return False
+        from ..wavefront import whitted as planar
+
+        ok = planar.supports(scene)
+        if self.li_impl == "planar" and not ok:
+            raise ValueError("li_impl='planar' but scene unsupported "
+                             "(env light / instanced / material)")
+        return ok
 
     def li(self, scene, rd, key):
+        if self._use_planar(scene):
+            from ..wavefront import whitted as planar
+
+            return planar.li(scene, rd, key, self.max_depth,
+                             queue_capacity=self.queue_capacity,
+                             level_caps=self.level_caps)
         return li(scene, rd, key, self.max_depth,
                   queue_capacity=self.queue_capacity,
                   sort_materials=self.sort_materials)
 
     def _li_with_aux(self, scene, rd, key):
+        if self._use_planar(scene):
+            from ..wavefront import whitted as planar
+
+            return planar.li(scene, rd, key, self.max_depth,
+                             queue_capacity=self.queue_capacity,
+                             return_aux=True, level_caps=self.level_caps)
         return li(scene, rd, key, self.max_depth,
                   queue_capacity=self.queue_capacity, return_aux=True,
                   sort_materials=self.sort_materials)

@@ -238,6 +238,13 @@ class Scene:
         center = (lo + hi) / 2
         radius = float(np.linalg.norm(hi - center))
         self.lights = light_mod.preprocess(lights, center, radius)
+        # Host snapshot of the light table STRUCTURE (kinds, flags,
+        # triangle ranges): with_lights views swap self.lights for a
+        # TRACED table (relight executable reuse), but the structure is
+        # per-scene static — the planar wavefront path dispatches on it
+        # (wavefront/lights.py) while reading numeric params from the
+        # live table.
+        self.lights_host = self.lights
         self.max_area_tris = int(
             np.asarray(self.lights.tri_count).max(initial=0)
         )

@@ -214,6 +214,12 @@ def bench_whitted_shadows():
     integ = WhittedIntegrator(
         camera, UniformSampler(spp, seed=0), max_depth=max_depth,
         pixel_chunk=1 << 17,  # whole frame in one chunk -> spp dispatches
+        # Planar wavefront fast path (round 5): keep level 2 full-width,
+        # halve the specular queue for levels 3+. Shrink is energy-exact
+        # iff queue_drops == 0 — recorded below; a non-zero value means
+        # the schedule dropped live children and the run must be judged
+        # accordingly (micro_planar.py measured drops == 0 here).
+        level_caps=(1.0, 0.5, 0.5, 0.5),
     )
 
     state = integ.render(scene)  # warm-up (compile)
@@ -252,6 +258,9 @@ def bench_whitted_shadows():
         "ms_pipeline": round(dt_pipe * 1e3, 3),
         "iqr_pipeline_ms": round(iqr * 1e3, 3),
         "relay_floor_ms": round(floor_ms, 3),
+        # 0 certifies the shrunken queue schedule lost no live children
+        # (energy-exact vs the full-width render).
+        "queue_drops": int(jax.device_get(integ.last_queue_drops)),
     }
 
 

@@ -244,7 +244,21 @@ class WhittedIntegrator(SamplerIntegrator):
         # Optional shrinking queue-capacity schedule for levels
         # 2..max_depth (planar path only): drops stay counted, so a
         # schedule is verified energy-exact post-hoc by drops == 0.
+        # ``level_caps``: absolute ints, or FRACTIONS of the lane count
+        # (values <= 1.0) resolved per li call — (1.0, 0.5, 0.5, 0.5)
+        # keeps level 2 full-width and halves levels 3+. A short tuple
+        # extends by repeating its last entry up to max_depth - 1.
         self.level_caps = level_caps
+
+    def _resolve_caps(self, n: int):
+        caps = self.level_caps
+        if caps is None:
+            return None
+        vals = [int(c * n) if isinstance(c, float) and c <= 1.0 else int(c)
+                for c in caps]
+        while len(vals) < self.max_depth - 1:
+            vals.append(vals[-1])
+        return tuple(max(1, v) for v in vals[: max(self.max_depth - 1, 0)])
 
     def _use_planar(self, scene) -> bool:
         if self.li_impl == "packed" or self.sort_materials:
@@ -263,7 +277,7 @@ class WhittedIntegrator(SamplerIntegrator):
 
             return planar.li(scene, rd, key, self.max_depth,
                              queue_capacity=self.queue_capacity,
-                             level_caps=self.level_caps)
+                             level_caps=self._resolve_caps(rd.o.shape[0]))
         return li(scene, rd, key, self.max_depth,
                   queue_capacity=self.queue_capacity,
                   sort_materials=self.sort_materials)
@@ -274,7 +288,8 @@ class WhittedIntegrator(SamplerIntegrator):
 
             return planar.li(scene, rd, key, self.max_depth,
                              queue_capacity=self.queue_capacity,
-                             return_aux=True, level_caps=self.level_caps)
+                             return_aux=True,
+                             level_caps=self._resolve_caps(rd.o.shape[0]))
         return li(scene, rd, key, self.max_depth,
                   queue_capacity=self.queue_capacity, return_aux=True,
                   sort_materials=self.sort_materials)

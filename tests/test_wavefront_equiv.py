@@ -185,3 +185,42 @@ def test_li_planar_level_caps_exact_when_roomy(scene):
             == int(aux_full["useful_rays"]))
     np.testing.assert_allclose(np.asarray(l_full), np.asarray(l_caps),
                                rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_path_planar_matches_packed():
+    from trace_tpu.models.cornell import build_scene
+    from trace_tpu.integrators import path as packed_p
+    from trace_tpu.wavefront import path as planar_p
+
+    sc = build_scene()
+    assert planar_p.supports(sc)
+    n = 1024
+    rng = np.random.default_rng(11)
+    # Rays from the front of the box toward the interior.
+    o = np.zeros((n, 3), np.float32)
+    o[:, 0] = rng.uniform(-0.8, 0.8, n)
+    o[:, 1] = rng.uniform(0.2, 1.8, n)
+    o[:, 2] = 3.0
+    tgt = np.stack([rng.uniform(-0.9, 0.9, n), rng.uniform(0.1, 1.9, n),
+                    rng.uniform(-1.8, -0.2, n)], -1).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    rd = RayDifferentials(
+        o=o, d=d, t_max=jnp.full((n,), jnp.inf, jnp.float32),
+        time=jnp.zeros((n,), jnp.float32),
+        has_differentials=jnp.zeros((n,), bool),
+        rx_origin=o, ry_origin=o, rx_direction=d, ry_direction=d,
+    )
+    key = jax.random.key(13)
+    lp, aux_p = packed_p.li(sc, rd, key, max_depth=5, return_aux=True)
+    lv, aux_v = planar_p.li(sc, rd, key, max_depth=5, return_aux=True)
+    a, b = np.asarray(lp), np.asarray(lv)
+    assert a.sum() > 0
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+    # Path-tracer liveness depends on continuous thresholds (bs.pdf > 0
+    # under Russian roulette), so f32 association differences can flip a
+    # handful of boundary lanes; counts must agree to 0.5%, not exactly.
+    up, uv = int(aux_p["useful_rays"]), int(aux_v["useful_rays"])
+    assert abs(up - uv) <= max(50, 0.005 * up), (up, uv)

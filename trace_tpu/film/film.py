@@ -80,6 +80,14 @@ class Film:
         # ceil(d-r)..floor(d+r)+1 inclusive, at most floor(2r)+2 pixels.
         self.fp_x = int(math.floor(2 * fr[0])) + 2
         self.fp_y = int(math.floor(2 * fr[1])) + 2
+        # Static stencil offsets for the full-grid gather-free splat
+        # (add_samples_grid): a sample at base pixel p (d - p in
+        # [-0.5, 0.5)) touches pixels p + delta with delta in
+        # [ceil(-0.5 - r), floor(0.5 + r) + 1].
+        self.stencil_x = (int(math.ceil(-0.5 - fr[0])),
+                          int(math.floor(0.5 + fr[0])) + 1)
+        self.stencil_y = (int(math.ceil(-0.5 - fr[1])),
+                          int(math.floor(0.5 + fr[1])) + 1)
 
     # -- sample bounds ------------------------------------------------------
 
@@ -189,6 +197,108 @@ class Film:
             state.weight_sum.reshape(-1).at[flat].add(wf).reshape(state.weight_sum.shape)
         )
         return FilmState(new_xyz, new_ws, state.splat_xyz)
+
+    def add_samples_grid(self, state: FilmState, p_film, L_rgb,
+                         sample_weight, origin, grid_hw,
+                         valid=None) -> FilmState:
+        """Gather-free full-grid splat: same semantics as add_samples
+        (incl. the reference's ceil/floor table asymmetry and
+        one-wider footprint) for the case where the N lanes are the
+        COMPLETE raster sample grid in x-fastest order (one jittered
+        sample per sample-bounds pixel — what render() passes when a
+        chunk covers the whole grid). The per-sample filter footprint
+        then becomes a static stencil: for each pixel offset delta, the
+        contribution image is the (weight x value) grid shifted by
+        delta — a handful of static slice-adds, NO scatter. Measured on
+        v5e at 258²: 34.6 ms scatter -> ~1 ms stencil per sample pass
+        (scripts/micro_frame.py). Bit-differences vs add_samples are
+        association-only (sum order within a pixel).
+
+        origin: (x0, y0) of the lane grid (sample_bounds lo);
+        grid_hw: (gh, gw) with N == gh * gw.
+        """
+        gh, gw = grid_hw
+        x0, y0 = origin
+        pf = jnp.moveaxis(p_film, -1, 0)
+        d_x = (pf[0] - 0.5).reshape(gh, gw)
+        d_y = (pf[1] - 0.5).reshape(gh, gw)
+        r = self.filter.radius
+        inv_rx = np.float32(1.0 / r[0])
+        inv_ry = np.float32(1.0 / r[1])
+        step_x = np.float32(r[0] / FILTER_TABLE_WIDTH)
+        step_y = np.float32(r[1] / FILTER_TABLE_WIDTH)
+
+        xyz = spec.rgb_to_xyz(L_rgb) * sample_weight[..., None]
+        xc = jnp.moveaxis(xyz, -1, 0)
+        vx = xc[0].reshape(gh, gw)
+        vy = xc[1].reshape(gh, gw)
+        vz = xc[2].reshape(gh, gw)
+        vmask = (None if valid is None
+                 else valid.reshape(gh, gw).astype(F32))
+
+        # Footprint bounds per lane (same clamps as add_samples).
+        p0x = jnp.maximum(jnp.ceil(d_x - r[0]),
+                          np.float32(max(self.crop_min[0], 1)))
+        p0y = jnp.maximum(jnp.ceil(d_y - r[1]),
+                          np.float32(max(self.crop_min[1], 1)))
+        p1x = jnp.minimum(jnp.floor(d_x + r[0]) + 1.0,
+                          np.float32(self.crop_max[0]))
+        p1y = jnp.minimum(jnp.floor(d_y + r[1]) + 1.0,
+                          np.float32(self.crop_max[1]))
+
+        # Base pixel coordinate of each lane (the grid raster coords).
+        px = (jnp.arange(gw, dtype=F32) + np.float32(x0))[None, :]
+        py = (jnp.arange(gh, dtype=F32) + np.float32(y0))[:, None]
+
+        H, W = self.height, self.width
+        sx = x0 - self.crop_min[0]
+        sy = y0 - self.crop_min[1]
+        acc = jnp.moveaxis(state.xyz, -1, 0)  # [3, H, W]
+        acc_x, acc_y, acc_z = acc[0], acc[1], acc[2]
+        acc_w = state.weight_sum
+
+        for dy in range(self.stencil_y[0], self.stencil_y[1] + 1):
+            # Static overlap of the shifted grid with the film.
+            ty0 = max(0, dy + sy)
+            ly = min(H, gh + dy + sy) - ty0
+            if ly <= 0:
+                continue
+            gy0 = ty0 - (dy + sy)
+            for dx in range(self.stencil_x[0], self.stencil_x[1] + 1):
+                tx0 = max(0, dx + sx)
+                lx = min(W, gw + dx + sx) - tx0
+                if lx <= 0:
+                    continue
+                gx0 = tx0 - (dx + sx)
+                qx = px + np.float32(dx)
+                qy = py + np.float32(dy)
+                inb = ((qx >= p0x) & (qx <= p1x)
+                       & (qy >= p0y) & (qy <= p1y))
+                fx = jnp.abs((qx - d_x) * inv_rx) * FILTER_TABLE_WIDTH
+                fy = jnp.abs((qy - d_y) * inv_ry) * FILTER_TABLE_WIDTH
+                off_x = jnp.clip(jnp.ceil(fx), 1,
+                                 FILTER_TABLE_WIDTH).astype(jnp.int32) - 1
+                off_y = jnp.clip(jnp.floor(fy), 1,
+                                 FILTER_TABLE_WIDTH).astype(jnp.int32) - 1
+                pts = jnp.stack(
+                    [(off_x.astype(F32) + 0.5) * step_x,
+                     (off_y.astype(F32) + 0.5) * step_y], axis=-1)
+                w = self.filter(pts) * inb.astype(F32)
+                if vmask is not None:
+                    w = w * vmask
+                ws = w[gy0:gy0 + ly, gx0:gx0 + lx]
+                tyy = slice(ty0, ty0 + ly)
+                txx = slice(tx0, tx0 + lx)
+                acc_x = acc_x.at[tyy, txx].add(
+                    ws * vx[gy0:gy0 + ly, gx0:gx0 + lx])
+                acc_y = acc_y.at[tyy, txx].add(
+                    ws * vy[gy0:gy0 + ly, gx0:gx0 + lx])
+                acc_z = acc_z.at[tyy, txx].add(
+                    ws * vz[gy0:gy0 + ly, gx0:gx0 + lx])
+                acc_w = acc_w.at[tyy, txx].add(ws)
+
+        new_xyz = jnp.moveaxis(jnp.stack([acc_x, acc_y, acc_z], 0), 0, -1)
+        return FilmState(new_xyz, acc_w, state.splat_xyz)
 
     def add_splats(self, state: FilmState, p_film, L_rgb) -> FilmState:
         """Unfiltered splat additions at integer pixels. Splats outside

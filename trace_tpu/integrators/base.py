@@ -125,13 +125,40 @@ class SamplerIntegrator:
         rd = scale_differentials(rd, np.float32(1.0 / np.sqrt(spp)))
         l, aux_s = self._li_with_aux(scene, rd, U.fold_lanes(ks, 1))
         l = common.sanitize_radiance(l)
-        state = self.camera.film.add_samples(
-            state, p_film,
-            jnp.where(lane_valid[..., None], l, 0.0),
-            jnp.where(lane_valid, weight, 0.0),
-            valid=lane_valid,
-        )
+        film = self.camera.film
+        grid = self._film_grid(int(pixels.shape[0]))
+        if grid is not None:
+            # Full-grid chunk (render()'s raster order): gather-free
+            # stencil splat — 34.6 -> ~1 ms per sample pass on v5e
+            # (film.add_samples_grid).
+            state = film.add_samples_grid(
+                state, p_film,
+                jnp.where(lane_valid[..., None], l, 0.0),
+                jnp.where(lane_valid, weight, 0.0),
+                (grid[0], grid[1]), (grid[2], grid[3]),
+                valid=lane_valid,
+            )
+        else:
+            state = film.add_samples(
+                state, p_film,
+                jnp.where(lane_valid[..., None], l, 0.0),
+                jnp.where(lane_valid, weight, 0.0),
+                valid=lane_valid,
+            )
         return state, jax.tree.map(jnp.add, aux, aux_s)
+
+    def _film_grid(self, n_lanes: int):
+        """(x0, y0, gh, gw) when ``n_lanes`` can only be the COMPLETE
+        sample-bounds raster grid (what render() passes when one chunk
+        covers everything — chunks are min(pixel_chunk, n), so equality
+        with gh*gw implies full coverage); None otherwise (chunked or
+        sharded callers fall back to the scatter splat)."""
+        film = self.camera.film
+        (x0, y0), (x1, y1) = film.sample_bounds()
+        gw, gh = x1 - x0 + 1, y1 - y0 + 1
+        if n_lanes == gh * gw:
+            return (x0, y0, gh, gw)
+        return None
 
     def render(self, scene, geometry=None,
                geometry_transform=None, geometry_accel=None) -> FilmState:

@@ -127,13 +127,36 @@ def li(scene, rd, key, max_depth: int = 5, rr_depth: int = 3,
 
 class PathIntegrator(SamplerIntegrator):
     def __init__(self, camera, sampler=None, max_depth: int = 5,
-                 rr_depth: int = 3, pixel_chunk: int = 1 << 16):
+                 rr_depth: int = 3, pixel_chunk: int = 1 << 16,
+                 li_impl: str = "auto"):
         super().__init__(camera, sampler, max_depth, pixel_chunk)
         self.rr_depth = int(rr_depth)
+        # "auto": planar wavefront fast path where the scene supports it
+        # (wavefront/path.py), else this packed oracle path.
+        self.li_impl = li_impl
+
+    def _use_planar(self, scene) -> bool:
+        if self.li_impl == "packed":
+            return False
+        from ..wavefront import path as planar
+
+        ok = planar.supports(scene)
+        if self.li_impl == "planar" and not ok:
+            raise ValueError("li_impl='planar' but scene unsupported")
+        return ok
 
     def li(self, scene, rd, key):
+        if self._use_planar(scene):
+            from ..wavefront import path as planar
+
+            return planar.li(scene, rd, key, self.max_depth, self.rr_depth)
         return li(scene, rd, key, self.max_depth, self.rr_depth)
 
     def _li_with_aux(self, scene, rd, key):
+        if self._use_planar(scene):
+            from ..wavefront import path as planar
+
+            return planar.li(scene, rd, key, self.max_depth,
+                             self.rr_depth, return_aux=True)
         return li(scene, rd, key, self.max_depth, self.rr_depth,
                   return_aux=True)

@@ -214,12 +214,14 @@ def bench_whitted_shadows():
     integ = WhittedIntegrator(
         camera, UniformSampler(spp, seed=0), max_depth=max_depth,
         pixel_chunk=1 << 17,  # whole frame in one chunk -> spp dispatches
-        # Planar wavefront fast path (round 5): keep level 2 full-width,
-        # halve the specular queue for levels 3+. Shrink is energy-exact
-        # iff queue_drops == 0 — recorded below; a non-zero value means
-        # the schedule dropped live children and the run must be judged
-        # accordingly (micro_planar.py measured drops == 0 here).
-        level_caps=(1.0, 0.5, 0.5, 0.5),
+        # Planar wavefront fast path (round 5): shrinking specular-queue
+        # schedule sized from measured live-children fractions on this
+        # scene (43.5% / 16.6% / 13.1% / 9.0% after levels 1-4, CPU
+        # probe) with >=1.15x margin. Shrink is energy-exact iff
+        # queue_drops == 0 — recorded below; a non-zero value means the
+        # schedule dropped live children and the run must be judged
+        # accordingly.
+        level_caps=(0.5, 0.25, 0.1875, 0.125),
     )
 
     state = integ.render(scene)  # warm-up (compile)
@@ -245,15 +247,21 @@ def bench_whitted_shadows():
     (x0, y0), (x1, y1) = camera.film.sample_bounds()
     n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)
     n_lights = int(np.asarray(scene.lights.kind).shape[0])
+    # Workload-equivalent numerator (fixed per config, comparable across
+    # rounds): what a non-compacting implementation dispatches.
     total_rays = n_pixels * spp * (1 + n_lights) * max_depth
     mrays = total_rays / dt / 1e6
-    # Useful rays: live-lane closest + shadow rays only (masked-dead
-    # wavefront lanes excluded) — the honest Mrays numerator, counted on
-    # device by the integrator.
+    # Actually-dispatched lanes under the level-caps schedule (level 1
+    # full width + the shrunken caps), for the honest useful-ray
+    # fraction; useful itself counts live lanes only, on device.
+    caps = integ._resolve_caps(n_pixels) or ((n_pixels,) * (max_depth - 1))
+    dispatched = n_pixels * spp * (1 + n_lights) * (
+        1 + sum(c / n_pixels for c in caps))
     return {
         "mrays": round(mrays, 3),
+        "dispatched_mrays": round(dispatched / dt / 1e6, 3),
         "useful_mrays": round(useful / dt / 1e6, 3),
-        "useful_ray_frac": round(useful / total_rays, 4),
+        "useful_ray_frac": round(useful / dispatched, 4),
         "ms": round(dt * 1e3, 3),
         "ms_pipeline": round(dt_pipe * 1e3, 3),
         "iqr_pipeline_ms": round(iqr * 1e3, 3),
@@ -276,7 +284,9 @@ def bench_cornell_path():
     camera = build_camera(resolution=res, filename="/tmp/bench_cornell.png")
     integ = PathIntegrator(
         camera, UniformSampler(spp, seed=0), max_depth=max_depth,
-        pixel_chunk=1 << 18,
+        # One chunk covering the FULL padded sample grid (514² > 2^18):
+        # enables the gather-free film stencil splat (base._film_grid).
+        pixel_chunk=1 << 19,
     )
 
     state = integ.render(scene)

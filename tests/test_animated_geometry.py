@@ -5,6 +5,7 @@ moved mesh — the executable-reuse path (Scene.with_geometry +
 accel/morton.build_clusters_device) cannot change the image.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 

@@ -101,12 +101,14 @@ def unpack3(v):
     minor-dim strided slices.
 
     ``v[..., k]`` on a TPU-tiled [N, 3] array is a strided window
-    extraction: profiling the composed Whitted loop showed the cloned
-    slice fusions it produces serialize into multi-million-cycle loops
-    (~5 ms per level at 65536 lanes — 46% of device time;
-    ARCHITECTURE.md §7b). One ``moveaxis`` transpose is a single
-    efficient tile-shuffle op, after which the component reads are
-    contiguous rows. Bit-identical values, different data movement."""
+    extraction that blocks fusion; one ``moveaxis`` transpose is a
+    single tile-shuffle op, after which the component reads are
+    contiguous rows. Bit-identical values, different data movement.
+    The measured basis for the whole layout question is
+    scripts/micro_unpacked.py (ARCHITECTURE.md §7c): planar component
+    arrays beat [N, 3] 2.2x on a composed level loop, which is why the
+    hot path now lives in trace_tpu/wavefront; this helper is the
+    packed path's mitigation at its conversion boundaries."""
     vt = jnp.moveaxis(v, -1, 0)
     return vt[0], vt[1], vt[2]
 

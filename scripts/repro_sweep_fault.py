@@ -67,9 +67,10 @@ def main():
         for k, v in attr.items():
             setattr(acc, k, v)
         try:
-            h, tt, ii = acc.closest(scene, o, d, t)
+            (hs, ts_, _), (h, tt, ii) = acc.closest(scene, o, d, t)
             h = np.asarray(h)
-            log(f"stage {tag}: OK — hits {int(h.sum())}/{n}",
+            log(f"stage {tag}: OK — tri hits {int(h.sum())}/{n}",
+                f"sph hits {int(np.asarray(hs).sum())}",
                 f"t[0:3]={np.asarray(tt)[:3]}")
         finally:
             for k, v in saved.items():

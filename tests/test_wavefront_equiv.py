@@ -224,3 +224,45 @@ def test_path_planar_matches_packed():
     # handful of boundary lanes; counts must agree to 0.5%, not exactly.
     up, uv = int(aux_p["useful_rays"]), int(aux_v["useful_rays"])
     assert abs(up - uv) <= max(50, 0.005 * up), (up, uv)
+
+
+@pytest.mark.slow
+def test_sppm_camera_planar_matches_packed(scene):
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+    from trace_tpu.wavefront import sppm_camera as planar_c
+    from trace_tpu.models.spheres import build_camera
+
+    camera = build_camera(resolution=32, filename="/tmp/eqv_sppm.png")
+    integ = SPPMIntegrator(camera, initial_search_radius=0.1, max_depth=5,
+                           n_iterations=4)
+    assert planar_c.supports(scene)
+    pixels = jnp.asarray(integ._pixel_grid()[: 32 * 32])
+    valid = jnp.ones((pixels.shape[0],), bool)
+    key = jax.random.key(21)
+    ld_p, vp_p = integ._camera_pass_body_packed(scene, pixels, valid, key)
+    ld_v, vp_v = planar_c.camera_pass_body(integ, scene, pixels, valid, key)
+    # Discrete branches on continuous values (RR luminance < 0.25,
+    # u_rr > cp, make_vp lobe counts) can flip on lanes where the two
+    # implementations' f32 association differs by ulps — compare on the
+    # >= 99.5% of lanes that agree, and require the flip fraction small.
+    a, b = np.asarray(ld_p), np.asarray(ld_v)
+    agree_ld = np.all(np.abs(a - b) <= 3e-5 + 3e-4 * np.abs(a), axis=-1)
+    assert agree_ld.mean() > 0.995, agree_ld.mean()
+    same_valid = np.asarray(vp_p.valid) == np.asarray(vp_v.valid)
+    assert same_valid.mean() > 0.995, same_valid.mean()
+    m = np.asarray(vp_p.valid) & np.asarray(vp_v.valid) & agree_ld
+    for field in ("p", "wo", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(vp_p, field))[m],
+            np.asarray(getattr(vp_v, field))[m],
+            rtol=2e-5, atol=2e-5, err_msg=field)
+    for field in ("kind", "fr_kind"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(vp_p.lobes, field))[m],
+            np.asarray(getattr(vp_v.lobes, field))[m], err_msg=field)
+    for field in ("c0", "c1", "eta_a", "eta_b", "a", "b",
+                  "ng", "ns", "ss", "ts", "eta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(vp_p.lobes, field))[m],
+            np.asarray(getattr(vp_v.lobes, field))[m],
+            rtol=2e-5, atol=2e-5, err_msg=field)

@@ -230,7 +230,22 @@ class SPPMIntegrator:
     def _camera_pass_body(self, scene, pixels, lane_valid, key):
         """Vectorized visible-point generation (sppm.jl:175-270) for a
         chunk of pixels. Returns (ld_add [C,3], VisiblePoints chunk).
-        Pure (unjitted) so it can also run under shard_map."""
+        Pure (unjitted) so it can also run under shard_map.
+
+        Dispatches to the planar wavefront twin
+        (wavefront/sppm_camera.py — the round-5 layout fast path) for
+        supported scenes; this packed body stays the oracle and the
+        fallback (env lights, instanced geometry, animated views)."""
+        if getattr(self, "li_impl", "auto") != "packed":
+            from ..wavefront import sppm_camera as planar
+
+            if planar.supports(scene):
+                return planar.camera_pass_body(
+                    self, scene, pixels, lane_valid, key)
+        return self._camera_pass_body_packed(scene, pixels, lane_valid,
+                                             key)
+
+    def _camera_pass_body_packed(self, scene, pixels, lane_valid, key):
         c = pixels.shape[0]
         inv_sqrt_spp = np.float32(1.0 / np.sqrt(self.n_iterations))
         ks = U.lane_keys(key, U.pixel_ids(pixels))

@@ -266,3 +266,45 @@ def test_sppm_camera_planar_matches_packed(scene):
             np.asarray(getattr(vp_p.lobes, field))[m],
             np.asarray(getattr(vp_v.lobes, field))[m],
             rtol=2e-5, atol=2e-5, err_msg=field)
+
+
+@pytest.mark.slow
+def test_sppm_photon_planar_matches_packed(scene):
+    from trace_tpu.integrators.sppm import SPPMIntegrator
+    from trace_tpu.integrators import common
+    from trace_tpu.wavefront import sppm_photon as planar_p
+    from trace_tpu.models.spheres import build_camera
+
+    camera = build_camera(resolution=32, filename="/tmp/eqv_sppm2.png")
+    integ = SPPMIntegrator(camera, initial_search_radius=0.1, max_depth=5,
+                           n_iterations=2, photons_per_iteration=1024)
+    assert planar_p.supports(scene)
+    # A grid build from a real camera pass gives realistic cell tables.
+    pixels = jnp.asarray(integ._pixel_grid()[: 32 * 32])
+    valid = jnp.ones((pixels.shape[0],), bool)
+    key = jax.random.key(5)
+    _, vp = integ._camera_pass_body(scene, pixels, valid, key)
+    radius = jnp.full((integ.n_pixels,), 0.1, jnp.float32)
+    grid = integ._build_grid(vp, radius)
+    grid_lo, grid_res, inv_ext = grid["lo"], grid["res"], grid["inv_extent"]
+    sorted_cells = grid["sorted_cells"]
+    cdf = common.light_power_cdf(scene)
+    pmf = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.float32), cdf]))
+    hidx = jnp.arange(1024, dtype=jnp.uint32)
+    lane_valid = jnp.ones((1024,), bool)
+    args = (hidx, lane_valid, cdf, pmf, grid_lo, grid_res, inv_ext,
+            sorted_cells)
+    sp_p = integ._photon_walk_body_packed(scene, *args)
+    sp_v = planar_p.photon_walk_body(integ, scene, *args)
+    # Agreement masks: discrete RR on continuous values can flip lanes.
+    agree = (np.abs(np.asarray(sp_p["p"]) - np.asarray(sp_v["p"]))
+             .max(axis=-1) < 1e-5)
+    assert agree.mean() > 0.995, agree.mean()
+    for k in ("start", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(sp_p[k])[agree], np.asarray(sp_v[k])[agree],
+            err_msg=k)
+    for k in ("d", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(sp_p[k])[agree], np.asarray(sp_v[k])[agree],
+            rtol=3e-4, atol=3e-5, err_msg=k)

@@ -475,7 +475,27 @@ class SPPMIntegrator:
         """Emit + walk a chunk of photons (sppm.jl:334-436). Returns splat
         records for depths 2..max_depth: dict of [S=(D-1)*C] arrays with
         the cell-range (start, count) of each splat. Pure (unjitted) so it
-        can also run under shard_map (parallel/sppm.py)."""
+        can also run under shard_map (parallel/sppm.py).
+
+        Dispatches to the planar wavefront twin
+        (wavefront/sppm_photon.py) for supported scenes; this packed
+        body stays the oracle and the fallback."""
+        if getattr(self, "li_impl", "auto") != "packed":
+            from ..wavefront import sppm_photon as planar
+
+            if planar.supports(scene):
+                return planar.photon_walk_body(
+                    self, scene, halton_idx, lane_valid, light_cdf,
+                    light_pmf, grid_lo, grid_res, grid_inv_extent,
+                    sorted_cells)
+        return self._photon_walk_body_packed(
+            scene, halton_idx, lane_valid, light_cdf, light_pmf,
+            grid_lo, grid_res, grid_inv_extent, sorted_cells)
+
+    def _photon_walk_body_packed(self, scene, halton_idx, lane_valid,
+                                 light_cdf, light_pmf,
+                                 grid_lo, grid_res, grid_inv_extent,
+                                 sorted_cells):
         c = halton_idx.shape[0]
         ri = lambda dim: radical_inverse(dim, halton_idx)
 

@@ -183,3 +183,91 @@ def area_light_radiance(scene, hit, wo: V3) -> V3:
     front = hit.n.dot(wo) > 0
     emits = jnp.where(two, True, front)
     return V.where((lid >= 0) & is_area & emits, i_rgb, 0.0)
+
+
+def sample_le_static(scene, j: int, u0x, u0y, u1x, u1y, time):
+    """lights.sample_le twin at a STATIC light index (photon emission,
+    point.jl:61-69, spot.jl:44-55; distant/area as in the packed path).
+    Returns (le V3, o V3, d V3, n_light V3, pdf_pos [N], pdf_dir [N])."""
+    lights = scene.lights
+    kind = kind_of(scene, j)
+    n = u0x.shape[0]
+    i_rgb = jnp.asarray(lights.i)[j]
+    i_v = V3(jnp.broadcast_to(i_rgb[0], (n,)),
+             jnp.broadcast_to(i_rgb[1], (n,)),
+             jnp.broadcast_to(i_rgb[2], (n,)))
+    ones = jnp.ones((n,), F32)
+
+    if kind == L.POINT:
+        d = V.uniform_sample_sphere(u0x, u0y)
+        pl = jnp.asarray(lights.p)[j]
+        o = V3(jnp.broadcast_to(pl[0], (n,)), jnp.broadcast_to(pl[1], (n,)),
+               jnp.broadcast_to(pl[2], (n,)))
+        pdf_dir = ones * np.float32(1.0 / (4.0 * np.pi))
+        return i_v, o, d, d, ones, pdf_dir
+
+    if kind == L.SPOT:
+        ctw = jnp.asarray(lights.cos_total_width)[j]
+        cfs = jnp.asarray(lights.cos_falloff_start)[j]
+        d_cone = V.uniform_sample_cone(u0x, u0y, ctw)
+        l2w = jnp.asarray(lights.l2w)[j]
+        d = V3(
+            l2w[0, 0] * d_cone.x + l2w[0, 1] * d_cone.y
+            + l2w[0, 2] * d_cone.z,
+            l2w[1, 0] * d_cone.x + l2w[1, 1] * d_cone.y
+            + l2w[1, 2] * d_cone.z,
+            l2w[2, 0] * d_cone.x + l2w[2, 1] * d_cone.y
+            + l2w[2, 2] * d_cone.z,
+        ).normalize()
+        pl = jnp.asarray(lights.p)[j]
+        o = V3(jnp.broadcast_to(pl[0], (n,)), jnp.broadcast_to(pl[1], (n,)),
+               jnp.broadcast_to(pl[2], (n,)))
+        fo = _spot_falloff(jnp.asarray(lights.w2l)[j], ctw, cfs, d)
+        le = i_v * fo
+        pdf_dir = jnp.broadcast_to(
+            1.0 / (2.0 * np.float32(np.pi) * (1.0 - ctw)), (n,))
+        return le, o, d, d, ones, pdf_dir
+
+    if kind == L.DISTANT:
+        dirn = jnp.asarray(lights.direction)[j]
+        wc = jnp.asarray(lights.world_center)
+        wr = jnp.asarray(lights.world_radius)
+        dv = V3(jnp.broadcast_to(dirn[0], (n,)),
+                jnp.broadcast_to(dirn[1], (n,)),
+                jnp.broadcast_to(dirn[2], (n,)))
+        _, v1, v2 = V.coordinate_system(dv)
+        cdx, cdy = V.concentric_sample_disk(u0x, u0y)
+        wc_v = V3(jnp.broadcast_to(wc[0], (n,)),
+                  jnp.broadcast_to(wc[1], (n,)),
+                  jnp.broadcast_to(wc[2], (n,)))
+        o = wc_v + (v1 * cdx + v2 * cdy) * wr + dv * wr
+        d = -dv
+        pdf_pos = jnp.broadcast_to(
+            1.0 / jnp.maximum(np.float32(np.pi) * wr * wr, 1e-20), (n,))
+        return i_v, o, d, d, pdf_pos, ones
+
+    if kind == L.AREA:
+        host = scene.lights_host
+        total_area = float(np.asarray(host.total_area)[j])
+        two = bool(np.asarray(host.two_sided)[j])
+        p_a, n_a = _sample_area_point_static(
+            scene, int(np.asarray(host.tri_start)[j]),
+            int(np.asarray(host.tri_count)[j]), u0x, u0y)
+        if two:
+            back = u1x < 0.5
+            u1x_r = jnp.minimum(
+                jnp.where(back, u1x * 2.0, (u1x - 0.5) * 2.0), 1.0 - 1e-7)
+        else:
+            back = jnp.zeros((n,), bool)
+            u1x_r = u1x
+        w_local = V.cosine_sample_hemisphere(u1x_r, u1y)
+        wz = jnp.where(back, -w_local.z, w_local.z)
+        _, t1, t2 = V.coordinate_system(n_a)
+        d = t1 * w_local.x + t2 * w_local.y + n_a * wz
+        pdf_pos = jnp.broadcast_to(
+            np.float32(1.0 / max(total_area, 1e-20)), (n,))
+        pdf_dir = jnp.abs(wz) * np.float32(1.0 / np.pi) * (
+            np.float32(0.5) if two else np.float32(1.0))
+        return i_v, p_a, d, n_a, pdf_pos, pdf_dir
+
+    raise NotImplementedError(f"planar sample_le: light kind {kind}")

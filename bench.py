@@ -139,15 +139,26 @@ def _diff_time(run_k, k_lo: int, k_hi: int, reps: int = 3) -> float:
     return float(np.median(ds))
 
 
-def _frame_exec_timer(integ, scene, geometry=None, geometry_accel=None):
+def _frame_exec_timer(integ, scene, geometry=None, geometry_accel=None,
+                      split_dispatches: bool = False):
     """Build an execution-honest per-frame timer for a SamplerIntegrator.
 
     Returns ``run_k(k) -> wall seconds``: k full frames (every pixel
-    chunk, all spp) inside ONE jit — frames chained through the film
-    state, so XLA must execute them sequentially — then one forced
-    readback. Feed to :func:`_diff_time`. Mirrors
-    SamplerIntegrator.render()'s setup exactly (same chunk shapes and
-    executables via the inlined _chunk_pass)."""
+    chunk, all spp) chained through the film state, so the device must
+    execute them sequentially, then one forced readback. Feed to
+    :func:`_diff_time`. Mirrors SamplerIntegrator.render()'s setup
+    exactly (same chunk shapes and executables via the inlined
+    _chunk_pass).
+
+    ``split_dispatches``: chain the k frames across k ENQUEUED
+    dispatches (one frame each, data-dependent through the donated film
+    state) instead of one k-frame fori_loop dispatch. Same honesty —
+    fixed costs cancel in the k-difference, execution is serialized by
+    the dependency — but no long-running single dispatch: the TPU
+    runtime through the relay kills dispatches that run too long
+    (repro_sweep_fault2.py stage 5x: the 1M-tri config's 8-frame chain
+    crashes the worker, 2 frames run clean; the same failure mode
+    capped SPPM's fused_block at 1). Heavy configs use this."""
     from trace_tpu.integrators import common
 
     film = integ.camera.film
@@ -188,6 +199,24 @@ def _frame_exec_timer(integ, scene, geometry=None, geometry_accel=None):
         return jax.lax.fori_loop(0, k, frame_body, (state, aux))
 
     jl = jax.jit(loop)
+
+    if split_dispatches:
+        def run_k(k):
+            state = film.initial_state()
+            aux = {"queue_drops": jnp.zeros((), jnp.int32),
+                   "useful_rays": jnp.zeros((), jnp.int32)}
+            t0 = time.perf_counter()
+            for j in range(k):
+                # One frame per dispatch; the frame index folds into the
+                # key inside `loop` via its own fori (j=0), so re-fold
+                # here to keep every frame a REAL re-render.
+                state, aux = jl(jnp.int32(1), state, aux, parts, valids,
+                                jax.random.fold_in(key, j), lights_dev,
+                                geom)
+            _force(state.xyz)
+            return time.perf_counter() - t0
+
+        return run_k
 
     def run_k(k):
         state = film.initial_state()
@@ -425,7 +454,10 @@ def bench_mesh_1m():
         )
         state = integ.render(scene)  # compile
         _force(state.xyz)            # surface any kernel fault HERE
-        run_k = _frame_exec_timer(integ, scene)
+        # split_dispatches: a k-frame single dispatch at this scene
+        # scale crashes the TPU worker (execution-duration kill through
+        # the relay, repro_sweep_fault2.py) — the r4 "kernel fault".
+        run_k = _frame_exec_timer(integ, scene, split_dispatches=True)
         dt = _diff_time(run_k, k_lo, k_hi)
         (x0, y0), (x1, y1) = camera.film.sample_bounds()
         n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)

@@ -201,18 +201,29 @@ def _frame_exec_timer(integ, scene, geometry=None, geometry_accel=None,
     jl = jax.jit(loop)
 
     if split_dispatches:
+        # Finest-grained pipelined chain: one (chunk, sample-block)
+        # per dispatch through _chunk_pass_block, so no dispatch's
+        # execution span exceeds what the runtime tolerates (§7d). The
+        # frame index folds into the key so every frame is a REAL
+        # re-render; blocks are state-threaded, so the device executes
+        # the chain sequentially and the k-difference stays honest.
+        spp = integ.sampler.samples_per_pixel
+        spd = integ.spp_per_dispatch or spp
+
         def run_k(k):
             state = film.initial_state()
             aux = {"queue_drops": jnp.zeros((), jnp.int32),
                    "useful_rays": jnp.zeros((), jnp.int32)}
             t0 = time.perf_counter()
             for j in range(k):
-                # One frame per dispatch; the frame index folds into the
-                # key inside `loop` via its own fori (j=0), so re-fold
-                # here to keep every frame a REAL re-render.
-                state, aux = jl(jnp.int32(1), state, aux, parts, valids,
-                                jax.random.fold_in(key, j), lights_dev,
-                                geom)
+                kj = jax.random.fold_in(key, j)
+                for ci in range(n_chunks):
+                    for s0 in range(0, spp, spd):
+                        ns = min(spd, spp - s0)
+                        state, aux = integ._chunk_pass_block(
+                            scene, state, aux, parts[ci], valids[ci],
+                            kj, lights_dev, ns, jnp.int32(s0), geom,
+                        )
             _force(state.xyz)
             return time.perf_counter() - t0
 
@@ -450,7 +461,10 @@ def bench_mesh_1m():
                               filename="/tmp/bench_mesh1m.png")
         integ = WhittedIntegrator(
             camera, UniformSampler(spp, seed=0), max_depth=max_depth,
-            pixel_chunk=1 << 18,
+            # Dispatch-span caps (§7d): at 1M tris a 262144-lane 4-spp
+            # dispatch is killed by the runtime; 65536-lane 1-spp
+            # dispatches (the known-good 256²-frame span) pipeline.
+            pixel_chunk=1 << 16, spp_per_dispatch=1,
         )
         state = integ.render(scene)  # compile
         _force(state.xyz)            # surface any kernel fault HERE

@@ -86,9 +86,47 @@ def main():
             int(np.asarray(occ).sum()))
     elif stage == 4:
         render(1 << 18, "packed")
-    elif stage >= 50:
+    elif 70 > stage >= 50:
         stage5(stage - 50)
+    elif stage >= 90:
+        stage7(stage - 90)
+    elif stage >= 70:
+        stage6(stage - 70)
     log("done")
+
+
+def stage6(k):
+    """split-dispatch frame timer at k frames (bench's new config-4
+    path)."""
+    sys.argv = [sys.argv[0]]
+    from trace_tpu.models.mesh_heavy import build_scene, build_camera
+    from trace_tpu.integrators.whitted import WhittedIntegrator
+    from trace_tpu.sampler.uniform import UniformSampler
+    import bench
+
+    scene = build_scene()
+    camera = build_camera(resolution=256, filename="/tmp/r4.png")
+    integ = WhittedIntegrator(camera, UniformSampler(1, seed=0),
+                              max_depth=2, pixel_chunk=1 << 18)
+    run_k = bench._frame_exec_timer(integ, scene, split_dispatches=True)
+    t = run_k(k)
+    log(f"split-timer k={k} ok, wall {t:.2f}s")
+
+
+def stage7(spp):
+    """render 512^2 at given spp (the bench throughput frame)."""
+    from trace_tpu.models.mesh_heavy import build_scene, build_camera
+    from trace_tpu.integrators.whitted import WhittedIntegrator
+    from trace_tpu.sampler.uniform import UniformSampler
+
+    scene = build_scene()
+    camera = build_camera(resolution=512, filename="/tmp/r5.png")
+    integ = WhittedIntegrator(camera, UniformSampler(spp, seed=0),
+                              max_depth=2, pixel_chunk=1 << 18)
+    st = integ.render(scene)
+    import numpy as _np, jax.numpy as _jnp
+    _np.asarray(_jnp.ravel(st.xyz)[0])
+    log(f"render512 spp={spp} ok")
 
 
 def stage5(k):

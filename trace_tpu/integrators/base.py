@@ -27,12 +27,20 @@ F32 = jnp.float32
 class SamplerIntegrator:
     def __init__(self, camera, sampler: UniformSampler | None = None,
                  max_depth: int = 5, pixel_chunk: int = 1 << 16,
-                 stats=None):
+                 stats=None, spp_per_dispatch: int | None = None):
         self.camera = camera
         self.sampler = sampler or UniformSampler(1)
         self.max_depth = int(max_depth)
         self.pixel_chunk = int(pixel_chunk)
         self.stats = stats
+        # Cap on samples per DISPATCH: the TPU runtime (through the
+        # relay) kills dispatches whose execution span runs too long
+        # (ARCHITECTURE §7d — the config-4 "kernel fault"). Heavy
+        # scenes set this to split the per-chunk spp loop across
+        # pipelined dispatches (state-threaded, bit-identical keys);
+        # None keeps the single-dispatch fast path.
+        self.spp_per_dispatch = (int(spp_per_dispatch)
+                                 if spp_per_dispatch else None)
 
     def li(self, scene, rd, key):
         raise NotImplementedError
@@ -102,6 +110,28 @@ class SamplerIntegrator:
             )
 
         return jax.lax.fori_loop(0, spp, body, (state, aux))
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 8),
+                       donate_argnums=(2, 3))
+    def _chunk_pass_block(self, scene, state: FilmState, aux, pixels,
+                          lane_valid, chunk_key, lights, n_samples: int,
+                          s0, geom=None):
+        """``n_samples`` samples starting at global sample index ``s0``
+        (traced — one executable serves every block) for one chunk:
+        the dispatch-span-capped form of _chunk_pass. Keys fold the
+        GLOBAL sample index, so any block split is bit-identical to the
+        monolithic loop."""
+        scene = common.apply_geometry(scene.with_lights(lights), geom)
+
+        def body(i, carry):
+            s = s0 + i
+            lo, scale = self._stratum_arrays(s)
+            return self._sample_body(
+                scene, carry, pixels, lane_valid,
+                jax.random.fold_in(chunk_key, s), lo, scale,
+            )
+
+        return jax.lax.fori_loop(0, n_samples, body, (state, aux))
 
     def _sample_body(self, scene, carry, pixels, lane_valid, key, lo, scale):
         """Unjitted per-sample body of _chunk_pass; carry = (film state,
@@ -220,9 +250,20 @@ class SamplerIntegrator:
             # The SAME base key goes to every chunk: per-lane streams are
             # pixel-identity-keyed in _sample_body, so chunking is purely
             # a perf knob (sample values are chunk-invariant).
-            state, aux = self._chunk_pass(
-                scene, state, aux, part, valid, key, lights_dev, geom,
-            )
+            spd = self.spp_per_dispatch
+            if spd is not None and spd < spp:
+                # Dispatch-span cap (§7d): sample blocks as pipelined
+                # state-threaded dispatches, bit-identical keys.
+                for s0 in range(0, spp, spd):
+                    ns = min(spd, spp - s0)
+                    state, aux = self._chunk_pass_block(
+                        scene, state, aux, part, valid, key, lights_dev,
+                        ns, jnp.int32(s0), geom,
+                    )
+            else:
+                state, aux = self._chunk_pass(
+                    scene, state, aux, part, valid, key, lights_dev, geom,
+                )
         # Device scalars: Whitted specular-queue overflow drops + the
         # useful-ray count (0 for integrators without counters). Kept on
         # device — reading them mid-run would poison the relay dispatch

@@ -179,12 +179,23 @@ def camera_pass_body(integ, scene, pixels, lane_valid, key):
     z3 = V3(zf, zf, zf)
     carry = (
         rp.o, rp.d, rp.time, beta0,
-        (lane_valid & (beta_w > 0)) ^ zb, jnp.zeros((c,), bool) ^ zb,
+        (lane_valid & (beta_w > 0)), jnp.zeros((c,), bool),
         z3,                                      # ld
-        z3, z3, z3, jnp.zeros((c,), bool) ^ zb,  # vp p/wo/beta/valid
+        z3, z3, z3, jnp.zeros((c,), bool),       # vp p/wo/beta/valid
         empty_vp_slots(),
         (z3, z3, z3, z3, zf),                    # vp frame ng/ns/ss/ts/eta
     )
+
+    # Varying-axis tagging for shard_map (common.vary_like rationale):
+    # every [c]-shaped carry leaf — incl. the vp slot/frame zeros —
+    # must carry the sharded operands' varying type or the lax-loop
+    # carry types mismatch under shard_map.
+    def _vary(x):
+        if x.dtype == jnp.bool_:
+            return x ^ zb
+        return x + zf.astype(x.dtype)
+
+    carry = jax.tree.map(_vary, carry)
     carry = jax.lax.fori_loop(1, integ.max_depth + 1, body, carry)
     (_, _, _, _, _, _, ld,
      vp_p, vp_wo, vp_beta, vp_valid, vp_slots, vp_frame) = carry

@@ -158,7 +158,19 @@ def photon_walk_body(integ, scene, halton_idx, lane_valid,
     # Halton ``ri`` dims depend on the traced depth only through
     # radical_inverse(dim, ...) with dim = 6 + 3*(depth-1); the packed
     # body runs the same fori_loop so dims stay traced-compatible.
-    carry = (o, d, time + zf, beta, active, splats)
+    # Varying-axis tagging (shard_map): the static-light emission
+    # broadcasts light params as shard-replicated constants; tag every
+    # [c]-leaf of the carry with the varying zero (splat buffers are
+    # already tagged at construction).
+    zb = zf != 0.0
+
+    def _vary(x):
+        if x.dtype == jnp.bool_:
+            return x ^ zb
+        return x + zf.astype(x.dtype)
+
+    head = jax.tree.map(_vary, (o, d, time + zf, beta, active))
+    carry = head + (splats,)
     carry = jax.lax.fori_loop(1, integ.max_depth + 1, body, carry)
     splats = carry[-1]
     return {k: v.reshape((-1,) + v.shape[2:]) for k, v in splats.items()}

@@ -504,7 +504,10 @@ def bench_mesh_1m():
     # Headline FIRST (the r5 timeout lesson: this config's cold compiles
     # + split-dispatch timing can eat the whole per-config cap); the
     # 512² throughput frame and the kernel probes are budget-gated.
-    dt_lat, rays_lat, integ_lat = run(256, 1, 2, 6)
+    # k range sized to the HONEST frame cost (~36 s at 1M tris,
+    # time_sweep probes — the r2 "2 ms frames" were enqueue fiction):
+    # 1 warm + 2x(3+1) frames ≈ 5 min of device time.
+    dt_lat, rays_lat, integ_lat = run(256, 1, 1, 3)
     out = {
         "mrays": round(rays_lat / dt_lat / 1e6, 3),
         "ms_256_1spp": round(dt_lat * 1e3, 3),
@@ -512,9 +515,11 @@ def bench_mesh_1m():
         "n_tris": int(scene.n_triangles),
         "build_s": round(build_s, 2),
     }
-    if _remaining_s() > 600:
+    if _remaining_s() > 2400:
+        # ~16 dispatches/frame at the honest per-ray cost: only run
+        # with a wide-open budget (a 512²/4spp frame is ~10 min).
         try:
-            dt_thr, rays_thr, _ = run(512, 4, 1, 3)
+            dt_thr, rays_thr, _ = run(512, 4, 1, 2)
             out["mrays"] = round(rays_thr / dt_thr / 1e6, 3)
             out["ms_512_4spp"] = round(dt_thr * 1e3, 3)
         except Exception as e:

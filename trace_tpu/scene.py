@@ -116,12 +116,15 @@ class SceneBuilder:
 
         ``accelerator``: "auto" picks "pallas_sweep" on a TPU backend and
         "clusters" elsewhere. "pallas_sweep" (ops/sweep_pallas.py —
-        per-ray-block demand order with fused VMEM epilogue) measured on
-        v5e: 1.6x the cluster sweep on coherent camera rays and 2-2.5x on
-        incoherent bounce/photon rays at 88k tris, and 3.6-4x at 1M tris
-        (256²/1spp 1.99 ms vs 7.86; 512²/4spp 4.37 ms vs 15.62 — round-2
-        A/B, ray_chunk 16384). "clusters" is the XLA MXU demand-ordered
-        sweep (accel/clusters.py), the portable path CPU tests run."""
+        per-ray-block demand order with fused VMEM epilogue) is ~4x the
+        XLA cluster sweep at 1M tris in round-5 EXECUTION-HONEST timing
+        (415 vs 1604 ms per 16384 coherent rays; 199 vs 893 incoherent
+        — the round-2 absolute figures like "1.99 ms frames" were
+        enqueue-rate fiction, the RATIO held). Both paths test every
+        triangle of every super any ray in a 512-ray block enters, so
+        mesh-scale traversal is the framework's honest weak spot
+        (ARCHITECTURE.md §7e). "clusters" is the portable path CPU
+        tests run."""
         spheres = sph_mod.pack_spheres(self._sphere_entries)
         tris = tri_mod.concat_triangles(self._tri_parts)
         tri_light = (

@@ -308,3 +308,42 @@ def test_sppm_photon_planar_matches_packed(scene):
         np.testing.assert_allclose(
             np.asarray(sp_p[k])[agree], np.asarray(sp_v[k])[agree],
             rtol=3e-4, atol=3e-5, err_msg=k)
+
+
+@pytest.mark.slow
+def test_li_planar_matches_packed_metal_plastic():
+    """Material coverage for the planar path beyond the shadows scene:
+    Metal (GGX conductor) + Plastic (lambert + GGX coat) + rough Glass
+    under the same li equality pin."""
+    from trace_tpu.core import transform as T
+    from trace_tpu.lights.lights import point_light, distant_light
+    from trace_tpu.materials.materials import (GlassMaterial,
+                                               MetalMaterial,
+                                               PlasticMaterial)
+    from trace_tpu.scene import SceneBuilder
+    from trace_tpu.integrators import whitted as packed_w
+    from trace_tpu.wavefront import whitted as planar_w
+
+    b = SceneBuilder()
+    metal = b.material(MetalMaterial(roughness=0.05))
+    plastic = b.material(PlasticMaterial(Kd=(0.4, 0.2, 0.2),
+                                         Ks=(0.3, 0.3, 0.3),
+                                         roughness=0.2))
+    rglass = b.material(GlassMaterial(u_roughness=0.1, v_roughness=0.1))
+    b.sphere(T.translate([-0.5, 0.0, -2.0]), 0.4, metal)
+    b.sphere(T.translate([0.5, 0.0, -2.0]), 0.4, plastic)
+    b.sphere(T.translate([0.0, 0.8, -2.0]), 0.3, rglass)
+    b.light(point_light(T.translate([0.0, 3.0, 0.0]), (30.0, 28.0, 25.0)))
+    b.light(distant_light(T.identity(), (0.5, 0.6, 0.7), (0.3, 1.0, 0.2)))
+    sc = b.build()
+    assert planar_w.supports(sc)
+
+    n = 1024
+    rd = _camera_rays(n, seed=17)
+    key = jax.random.key(23)
+    lp, aux_p = packed_w.li(sc, rd, key, max_depth=4, return_aux=True)
+    lv, aux_v = planar_w.li(sc, rd, key, max_depth=4, return_aux=True)
+    a, bb = np.asarray(lp), np.asarray(lv)
+    assert a.sum() > 0
+    agree = np.all(np.abs(a - bb) <= 5e-5 + 5e-4 * np.abs(a), axis=-1)
+    assert agree.mean() > 0.995, agree.mean()

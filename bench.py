@@ -1095,7 +1095,12 @@ CONFIGS = [
 # round 3's prefix bug where mesh16m fell through to the short timeout).
 _BUDGET_POLICY = {
     "whitted_shadows_256": (150, 1500),
-    "sppm_caustic_1024": (240, 1800),
+    # SPPM's round-5 cap: the planar-dispatch rewrite invalidated every
+    # cached flagship executable once; a cold 1024² compile set through
+    # the remote tunnel alone exceeds 1800 s (observed). Warm runs fit
+    # comfortably; the cumulative-emit design means a kill still keeps
+    # earlier configs.
+    "sppm_caustic_1024": (240, 3300),
     "mesh1m_whitted_256": (420, 3600),
     "cornell_mis_512": (180, 1500),
     "animated_relight_128": (240, 1500),

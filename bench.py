@@ -968,12 +968,16 @@ def bench_mesh_16m():
                               filename="/tmp/bench_mesh16m.png")
         integ = WhittedIntegrator(
             camera, UniformSampler(1, seed=0), max_depth=2,
-            pixel_chunk=1 << 18,
+            # Dispatch-span cap (§7d) at 16M-tri per-ray costs.
+            pixel_chunk=1 << 16,
         )
         state = integ.render(scene, geometry=tris, geometry_accel=accel)
         _force(state.xyz)  # surface any fault here; warms d2h
+        # split_dispatches: multi-frame single dispatches at 16M tris
+        # would exceed the runtime's execution-span kill (§7d).
         run_k = _frame_exec_timer(integ, scene, geometry=tris,
-                                  geometry_accel=accel)
+                                  geometry_accel=accel,
+                                  split_dispatches=True)
         dt = _diff_time(run_k, k_lo, k_hi, reps=1)
         (x0, y0), (x1, y1) = camera.film.sample_bounds()
         n_pixels = (x1 - x0 + 1) * (y1 - y0 + 1)

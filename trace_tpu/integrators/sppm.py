@@ -653,7 +653,21 @@ class SPPMIntegrator:
                    vp: VisiblePoints, radius, sorted_vp, chunk: int):
         """Accumulate one fixed-size chunk of (photon, visible-point)
         candidate pairs into (phi, M) with deterministic scatter-adds.
-        Pure (unjitted) so it can also run under shard_map."""
+        Pure (unjitted) so it can also run under shard_map.
+
+        Round-5 planar form: the per-pair reads pack into TWO row
+        matrices — a [P, 55] visible-point table (p, radius, valid, wo,
+        frame + both compact lobe slots; ints bitcast to f32) and a
+        [S, 10] splat table — so a pair costs 2 row gathers instead of
+        ~20 per-field gathers, and the BSDF f evaluates through the
+        planar shade module (full-lane-occupancy components,
+        ARCHITECTURE §7c). The table builds are loop-invariant, so XLA
+        hoists them out of the pair while_loop. Values match the packed
+        form to f32 association (pair-oracle test)."""
+        from ..core import vec as V
+        from ..core.vec import V3
+        from ..wavefront import shade as S
+
         j = pair_base + jnp.arange(chunk, dtype=jnp.int32)
         in_range = j < total
         s = jnp.clip(
@@ -665,13 +679,79 @@ class SPPMIntegrator:
         entry = jnp.clip(entry, 0, sorted_vp.shape[0] - 1)
         vp_id = sorted_vp[entry]
 
-        d2 = m.distance_squared(vp.p[vp_id], sp_p[s])
-        r = radius[vp_id]
-        ok = in_range & vp.valid[vp_id] & (d2 <= r * r)
+        bc_i = lambda x: jax.lax.bitcast_convert_type(
+            x.astype(jnp.int32), F32)
+        lob = vp.lobes
+        vp_cols = [
+            vp.p[:, 0], vp.p[:, 1], vp.p[:, 2], radius,
+            vp.valid.astype(F32),
+            vp.wo[:, 0], vp.wo[:, 1], vp.wo[:, 2],
+            lob.ng[:, 0], lob.ng[:, 1], lob.ng[:, 2],
+            lob.ns[:, 0], lob.ns[:, 1], lob.ns[:, 2],
+            lob.ss[:, 0], lob.ss[:, 1], lob.ss[:, 2],
+            lob.ts[:, 0], lob.ts[:, 1], lob.ts[:, 2],
+            lob.eta,
+        ]
+        for sl in range(VP_LOBES):
+            vp_cols += [
+                bc_i(lob.kind[:, sl]),
+                lob.c0[:, sl, 0], lob.c0[:, sl, 1], lob.c0[:, sl, 2],
+                lob.c1[:, sl, 0], lob.c1[:, sl, 1], lob.c1[:, sl, 2],
+                lob.eta_a[:, sl], lob.eta_b[:, sl],
+                lob.a[:, sl], lob.b[:, sl],
+                bc_i(lob.fr_kind[:, sl]),
+                lob.fr_eta[:, sl, 0], lob.fr_eta[:, sl, 1],
+                lob.fr_eta[:, sl, 2],
+                lob.fr_k[:, sl, 0], lob.fr_k[:, sl, 1],
+                lob.fr_k[:, sl, 2],
+            ]
+        vp_rows = jnp.moveaxis(jnp.stack(vp_cols, axis=0), 0, -1)
+        sp_rows = jnp.moveaxis(jnp.stack([
+            sp_p[:, 0], sp_p[:, 1], sp_p[:, 2],
+            sp_d[:, 0], sp_d[:, 1], sp_d[:, 2],
+            sp_beta[:, 0], sp_beta[:, 1], sp_beta[:, 2],
+        ], axis=0), 0, -1)
 
-        vl = _gather_lobes(vp.lobes, vp_id)
-        f_val = B.f(vl, vp.wo[vp_id], -sp_d[s], lb.BSDF_ALL)
-        contrib = jnp.where(ok[:, None], sp_beta[s] * f_val, 0.0)
+        g = jnp.moveaxis(vp_rows[vp_id], -1, 0)     # [55, pairs]
+        h = jnp.moveaxis(sp_rows[s], -1, 0)         # [9, pairs]
+        un_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+
+        vpp = V3(g[0], g[1], g[2])
+        r = g[3]
+        valid = g[4] != 0.0
+        wo = V3(g[5], g[6], g[7])
+        slots = []
+        base = 21
+        for sl in range(VP_LOBES):
+            o_ = base + sl * 18
+            slots.append(S.LobeSlotP(
+                kind=un_i(g[o_]),
+                c0=V3(g[o_ + 1], g[o_ + 2], g[o_ + 3]),
+                c1=V3(g[o_ + 4], g[o_ + 5], g[o_ + 6]),
+                eta_a=g[o_ + 7], eta_b=g[o_ + 8],
+                a=g[o_ + 9], b=g[o_ + 10],
+                fr_kind=un_i(g[o_ + 11]),
+                fr_eta=V3(g[o_ + 12], g[o_ + 13], g[o_ + 14]),
+                fr_k=V3(g[o_ + 15], g[o_ + 16], g[o_ + 17]),
+            ))
+        lo_p = S.LobesP(
+            slots=tuple(slots),
+            ng=V3(g[8], g[9], g[10]), ns=V3(g[11], g[12], g[13]),
+            ss=V3(g[14], g[15], g[16]), ts=V3(g[17], g[18], g[19]),
+            eta=g[20],
+        )
+        spp_ = V3(h[0], h[1], h[2])
+        spd_ = V3(h[3], h[4], h[5])
+        spb = V3(h[6], h[7], h[8])
+
+        diff = vpp - spp_
+        d2 = diff.length_squared()
+        ok = in_range & valid & (d2 <= r * r)
+
+        f_val = S.f(lo_p, wo, -spd_, lb.BSDF_ALL)
+        contrib_v = V.where(ok, spb * f_val, 0.0)
+        contrib = jnp.moveaxis(
+            jnp.stack([contrib_v.x, contrib_v.y, contrib_v.z], 0), 0, -1)
         phi = phi.at[vp_id].add(contrib)
         m_cnt = m_cnt.at[vp_id].add(ok.astype(jnp.int32))
         return phi, m_cnt

@@ -385,7 +385,11 @@ def bench_sppm_caustic():
         )
 
     integ = make_integ(fused_k)
-    n_timed = 10
+    # At the honest ~37 s/iteration (round-5 record), iteration counts
+    # ARE wall-clock: 4 pipeline iterations + an (1,4)-k-diff keep the
+    # whole config ~13 min warm so the full five-config artifact fits
+    # the driver window.
+    n_timed = 4
     # Warm-up must compile the same dispatch shapes as the timed run:
     # the fused path's block length is a static jit arg, so a short warm
     # run would leave the timed run paying an XLA compile mid-timing.
@@ -429,7 +433,7 @@ def bench_sppm_caustic():
         _force(st.tau)
         return time.perf_counter() - t0
 
-    dt = _diff_time(run_k, 4, 14)
+    dt = _diff_time(run_k, 1, 4, reps=2)
     res = {"ms_per_iter": round(dt * 1e3, 3),
            "ms_per_iter_pipeline": round(dt_pipe * 1e3, 3),
            "dispatch_mode": mode,

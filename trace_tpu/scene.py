@@ -143,7 +143,11 @@ class SceneBuilder:
                     "pallas_sweep" if jax.default_backend() == "tpu"
                     else "clusters"
                 )
-            if accelerator == "pallas_sweep":
+            if accelerator == "wbvh":
+                from .accel.wbvh import attach as attach_wbvh
+
+                attach_wbvh(scene, max_prims_per_leaf=max_prims_per_leaf)
+            elif accelerator == "pallas_sweep":
                 from .ops.sweep_pallas import attach as attach_sweep
 
                 # The kernel's measured tuning: leaf 64 keeps each

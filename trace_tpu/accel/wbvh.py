@@ -1,9 +1,15 @@
 """Wavefront BVH traversal: batched per-ray short-stack walk in pure XLA.
 
-The per-ray-work answer to ARCHITECTURE.md §7e: the dense cluster/Pallas
-sweeps test every triangle of every super ANY ray in a block enters
-(~150k tests/ray at 1M tris), where a per-ray BVH walk tests ~100. The
-reference's walk is a per-ray 64-entry stack loop
+Built as §7e's recorded follow-on (per-ray data-dependent work instead
+of the sweeps' dense per-(ray, entered-super) testing) — and measured
+SLOWER than the Pallas sweep on TPU at mesh scale: 886 vs 51.4 ms per
+16384 full-raster rays at 1M tris, because each of the walk's ~361
+sequential steps costs a ~2.45 ms row-gather floor (full analysis and
+probe-methodology lessons: ARCHITECTURE.md §7f). It stays in the tree
+as the portable per-ray-economy reference implementation and oracle —
+the TPU default remains the sweep.
+
+The reference's walk is a per-ray 64-entry stack loop
 (/root/reference/src/accel/bvh.jl:212-299); this module runs that walk
 for a whole ray batch per `lax.while_loop` step, built strictly on the
 round-5 planar layout rules (§7c):

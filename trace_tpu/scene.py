@@ -124,7 +124,9 @@ class SceneBuilder:
         triangle of every super any ray in a 512-ray block enters, so
         mesh-scale traversal is the framework's honest weak spot
         (ARCHITECTURE.md §7e). "clusters" is the portable path CPU
-        tests run."""
+        tests run. "wbvh" is the batched per-ray BVH walk
+        (accel/wbvh.py) — the per-ray-economy reference; measured
+        slower than the sweep on TPU at mesh scale (§7f)."""
         spheres = sph_mod.pack_spheres(self._sphere_entries)
         tris = tri_mod.concat_triangles(self._tri_parts)
         tri_light = (
